@@ -1,0 +1,161 @@
+"""Parsers — stanza ParserOperator analogs (`pkg/stanza/operator/parser/*`).
+
+Shared semantics (`pkg/stanza/operator/helper/parser.go:97-190`): read
+``parse_from``, produce fields, write to ``parse_to``; failed parses follow
+``on_error``: ``send``/``send_quiet`` pass the row through with null parsed
+fields, ``drop``/``drop_quiet`` remove it (`helper/transformer.go:97-110`).
+
+The grok/regex parser is the one parser with no adequate JVM builtin for
+multi-group named captures, so it is a **vectorized pandas UDF** — Arrow
+batches in, one compiled regex, ``pd.Series.str.extract`` (C-loop, no
+per-row Python) — per the north rule. Every other parser maps to a native
+Catalyst expression (from_json / from_csv / str_to_map / parse_url /
+to_timestamp), which whole-stage codegen fuses into the surrounding plan.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+ON_ERROR = ("send", "send_quiet", "drop", "drop_quiet")
+
+
+def _group_names(pattern: str) -> list[str]:
+    return list(re.compile(pattern).groupindex.keys())
+
+
+def regex_parser(
+    df: DataFrame,
+    pattern: str,
+    parse_from: str = "line",
+    prefix: str = "",
+    on_error: str = "send",
+) -> DataFrame:
+    """regex_parser (`parser/regex/parser.go:46-74`): named capture groups →
+    one column each. Vectorized: compiled once per executor, applied per
+    Arrow batch via pd.Series.str.extract.
+
+    The reference optionally memoizes raw→parsed with an LRU cache
+    (parser.go:46-51); vectorized extract makes that unnecessary here.
+    """
+    if on_error not in ON_ERROR:
+        raise ValueError(f"on_error must be one of {ON_ERROR}")
+    names = _group_names(pattern)
+    if not names:
+        raise ValueError("pattern must use named capture groups (?P<name>...)")
+    out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
+
+    @pandas_udf(out_schema)
+    def extract(s: pd.Series) -> pd.DataFrame:
+        res = s.str.extract(pattern)
+        res.columns = names
+        return res
+
+    struct_col = f"__parsed_{parse_from}"
+    out = df.withColumn(struct_col, extract(F.col(parse_from)))
+    for n in names:
+        out = out.withColumn(prefix + n, F.col(f"{struct_col}.{n}"))
+    out = out.drop(struct_col)
+    if on_error.startswith("drop"):
+        # a row failed iff every capture group is null
+        out = out.filter(
+            F.greatest(*[F.col(prefix + n).isNotNull() for n in names])
+        )
+    return out
+
+
+def regex_parser_native(
+    df: DataFrame, pattern: str, names: list[str], parse_from: str = "line", prefix: str = ""
+) -> DataFrame:
+    """JVM-only variant using regexp_extract per group index (for patterns
+    simple enough that running the regex G times beats one Arrow round-trip).
+    Names must align with group order (group i+1). Python named-group
+    syntax ``(?P<n>`` is stripped to plain groups for the JVM regex engine."""
+    jvm_pattern = re.sub(r"\(\?P<[^>]+>", "(", pattern)
+    out = df
+    for i, n in enumerate(names):
+        v = F.regexp_extract(F.col(parse_from), jvm_pattern, i + 1)
+        out = out.withColumn(prefix + n, F.when(v != "", v))
+    return out
+
+
+def json_parser(df: DataFrame, schema, parse_from: str, parse_to: str = "parsed") -> DataFrame:
+    """json_parser (`parser/json/parser.go`) → from_json."""
+    return df.withColumn(parse_to, F.from_json(F.col(parse_from), schema))
+
+
+def csv_parser(
+    df: DataFrame, schema: str, parse_from: str, parse_to: str = "parsed", sep: str = ","
+) -> DataFrame:
+    """csv_parser (`parser/csv/parser.go`) → from_csv."""
+    return df.withColumn(
+        parse_to, F.from_csv(F.col(parse_from), schema, {"sep": sep})
+    )
+
+
+def key_value_parser(
+    df: DataFrame,
+    parse_from: str,
+    parse_to: str = "attributes",
+    pair_delim: str = " ",
+    kv_delim: str = "=",
+) -> DataFrame:
+    """key_value_parser (`parser/keyvalue/parser.go:37-48`) → str_to_map."""
+    return df.withColumn(
+        parse_to, F.str_to_map(F.col(parse_from), F.lit(pair_delim), F.lit(kv_delim))
+    )
+
+
+def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFrame:
+    """uri_parser (`parser/uri/parser.go:37-115`) → parse_url parts."""
+    col = F.col(parse_from)
+    return (
+        df.withColumn(prefix + "scheme", F.lower(F.parse_url(col, F.lit("PROTOCOL"))))
+        .withColumn(prefix + "host", F.parse_url(col, F.lit("HOST")))
+        .withColumn(prefix + "path", F.parse_url(col, F.lit("PATH")))
+        .withColumn(prefix + "query", F.parse_url(col, F.lit("QUERY")))
+    )
+
+
+def time_parser(
+    df: DataFrame,
+    parse_from: str,
+    layout: str | None = None,
+    layout_type: str = "strptime",
+    parse_to: str = "ts",
+) -> DataFrame:
+    """time_parser (`operator/helper/time.go:19-26,131-200`).
+
+    layout_type: 'strptime'/'gotime' → to_timestamp with a Spark pattern;
+    'epoch' → layout one of s/ms/us/ns over numeric input.
+    """
+    col = F.col(parse_from)
+    if layout_type == "epoch":
+        unit = layout or "s"
+        if unit == "s":
+            ts = F.timestamp_seconds(col.cast("double"))
+        elif unit == "ms":
+            ts = F.timestamp_millis(col.cast("long"))
+        elif unit == "us":
+            ts = F.timestamp_micros(col.cast("long"))
+        elif unit == "ns":
+            ts = F.timestamp_micros((col.cast("long") / 1000).cast("long"))
+        else:
+            raise ValueError(f"unknown epoch unit {unit}")
+        return df.withColumn(parse_to, ts)
+    return df.withColumn(parse_to, F.to_timestamp(col, layout))
+
+
+def trace_parser(df: DataFrame, trace_from: str = "trace_id_hex", span_from: str | None = "span_id_hex") -> DataFrame:
+    """trace_parser (`parser/trace`): hex strings → binary ids."""
+    out = df.withColumn("trace_id", F.unhex(F.col(trace_from)))
+    if span_from:
+        out = out.withColumn("span_id", F.unhex(F.col(span_from)))
+    return out

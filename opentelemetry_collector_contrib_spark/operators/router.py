@@ -1,0 +1,78 @@
+"""Routing connector — `connector/routingconnector/logs.go:62-119`.
+
+Reference semantics: an ordered route table, each entry an OTTL condition;
+``match_once=true`` → first matching route wins; ``match_once=false`` →
+multicast, a COPY of the row goes to every matching route; no match → the
+default route; each route's group is delivered to a separate sink pipeline.
+
+Spark restatement (SURVEY §3.3):
+- match_once  → one scalar column via lazy ``coalesce(when-chain)`` — no row
+  multiplication, no shuffle; routing is free inside the scan's codegen stage.
+- multicast   → build the array of matched route names, ``explode`` it —
+  row-multiplying, exactly like the reference's per-route copies.
+
+Sinks are per-route writes; ``write_routed`` uses a single
+``partitionBy("route")`` pass so the fan-out costs ONE job, not one scan per
+route (the reference flushes each consumer group separately; at 100 TB one
+pass with dynamic partition overwrite is the only sane physical plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_ROUTE = "default"
+
+
+@dataclass
+class Route:
+    name: str
+    condition: Column  # compiled OTTL condition (ottl/compiler.py) or any Column
+
+
+def route_match_once(df: DataFrame, routes: list[Route], out: str = "route") -> DataFrame:
+    """First-match-wins scalar route tag (`logs.go:87-89` match_once break)."""
+    expr = None
+    for r in routes:
+        cond = F.coalesce(r.condition, F.lit(False))
+        expr = F.when(cond, r.name) if expr is None else expr.when(cond, r.name)
+    tag = expr.otherwise(F.lit(DEFAULT_ROUTE)) if expr is not None else F.lit(DEFAULT_ROUTE)
+    return df.withColumn(out, tag)
+
+
+def route_multicast(df: DataFrame, routes: list[Route], out: str = "route") -> DataFrame:
+    """Multicast: array of all matching routes (default if none), exploded —
+    a row matching k routes appears k times (`logs.go:84-98` copy-per-match).
+    """
+    matched = F.filter(
+        F.array(
+            *[
+                F.when(F.coalesce(r.condition, F.lit(False)), r.name)
+                for r in routes
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    arr = F.when(F.size(matched) > 0, matched).otherwise(F.array(F.lit(DEFAULT_ROUTE)))
+    return df.withColumn(out, F.explode(arr))
+
+
+def write_routed(
+    df: DataFrame,
+    path: str,
+    route_col: str = "route",
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """One write job fans out to per-route directories (Iceberg-table analog;
+    `partitionBy` plays `exporter/fileexporter` group_by —
+    grouping_file_exporter.go — and pkg/batchperresourceattr)."""
+    (
+        df.write.format(fmt)
+        .mode(mode)
+        .partitionBy(route_col)
+        .save(path)
+    )

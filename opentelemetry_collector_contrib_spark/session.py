@@ -1,0 +1,87 @@
+"""SparkSession factory tuned for the log pipeline.
+
+Defaults are sized for the sandbox (local[N], 32 cores, 128 GiB) but every
+knob is the one you would set on a 1000-executor cluster: AQE on (runtime
+re-plan + skew-join splitting), small broadcast threshold raised, Arrow
+enabled for the vectorized pandas-UDF parse stage, shuffle partitions at
+2-3× core count so AQE can coalesce down.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+from pyspark.sql import SparkSession
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_pkg_zip_path: str | None = None
+
+
+def package_zip() -> str:
+    """Zip this package for shipping to executors — the local-mode analog of
+    ``spark-submit --py-files pkg.zip`` (cached per process)."""
+    global _pkg_zip_path
+    if _pkg_zip_path is None or not os.path.exists(_pkg_zip_path):
+        fd, path = tempfile.mkstemp(suffix=".zip", prefix="otel_spark_pkg_")
+        os.close(fd)
+        pkg_name = os.path.basename(_PKG_DIR)
+        with zipfile.ZipFile(path, "w") as zf:
+            for root, _dirs, files in os.walk(_PKG_DIR):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        rel = os.path.join(pkg_name, os.path.relpath(full, _PKG_DIR))
+                        zf.write(full, rel)
+        _pkg_zip_path = path
+    return _pkg_zip_path
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = "otel-contrib-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with pipeline-appropriate defaults.
+
+    On a real cluster, drop ``master`` and submit with spark-submit
+    --py-files; all other conf carries over unchanged.
+    """
+    cores = default_parallelism()
+    master = master or f"local[{cores}]"
+    shuffle_partitions = shuffle_partitions or max(cores * 2, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing of small shuffle partitions + automatic
+        # skew-join splitting (the north rule's explicit skew handling rides
+        # on this plus salting in plans/pipeline.py).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # All lookup/enrich tables are small dims → always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Arrow transfer for pandas UDFs (the vectorized parse stage).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Deterministic session timezone so ts rendering matches oracles.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # Ship the package to Python workers (pandas-UDF closures reference
+    # module-level code). On a real cluster this is spark-submit --py-files;
+    # here addPyFile gives identical semantics in every master mode.
+    spark.sparkContext.addPyFile(package_zip())
+    return spark
