@@ -1,0 +1,461 @@
+"""Driver-facing query registry: every operator exposed as a
+(spark_callable, duckdb_oracle_sql) pair over the shared parquet tables.
+
+Each Spark query is built from the package's real operators; each oracle is
+an INDEPENDENT re-derivation in ANSI SQL (DuckDB dialect) — the golden-file
+strategy of the reference (`pkg/golden`, `pkg/pdatatest/plogtest`) recast as
+dual-engine equality. Column names/types are aligned pair-wise; doubles are
+quantized to integer cents/fixed-point so cross-engine float formatting can
+never produce spurious hash mismatches.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.hashing import SAMPLER_BUCKETS, _KNUTH, word_token_sql
+from .functions.severity import attach_severity
+from .operators.parse import regex_parser, regex_parser_native, time_parser
+from .operators.router import Route, route_match_once, route_multicast
+from .session import package_zip
+from .sources.render import LINE_PATTERN, render_lines, row_idx_col
+from .sources.tokenizer import tokenize_documents
+
+# ---------------------------------------------------------------------------
+# shared fixtures: doc-source lookup dim (k8sattributes analog for src0..18;
+# src19 deliberately missing → null-enrich path)
+
+TEAMS = ["core", "search", "ads", "infra", "ml"]
+REGIONS = ["us", "eu", "ap"]
+TIERS = ["prod", "staging", "dev"]
+TIER_PCT = {"prod": 100.0, "staging": 50.0, "dev": 25.0}
+
+
+def doc_lookup_rows() -> list[tuple]:
+    rows = []
+    for i in range(19):
+        tier = TIERS[i % 3]
+        rows.append((f"src{i}", TEAMS[i % 5], REGIONS[(i // 3) % 3], tier, TIER_PCT[tier]))
+    return rows
+
+
+def _lookup_values_sql() -> str:
+    vals = ", ".join(
+        f"('{s}', '{t}', '{r}', '{ti}', {p})" for s, t, r, ti, p in doc_lookup_rows()
+    )
+    return f"(VALUES {vals}) AS l(source, team, region, tier, sample_pct)"
+
+
+def doc_lookup_df(spark: SparkSession) -> DataFrame:
+    from .datamodel import SOURCE_LOOKUP_SCHEMA
+
+    return spark.createDataFrame(doc_lookup_rows(), SOURCE_LOOKUP_SCHEMA)
+
+
+PARSE_NAMES = ["ts_str", "level", "src", "ntok", "seq_id", "head", "tail"]
+
+EPOCH = 1704067200
+MONTH = 30 * 86400
+
+# routes over the documents pipeline (routingconnector config analog)
+def doc_routes() -> list[Route]:
+    return [
+        Route("acme", F.col("tier") == "prod"),
+        Route("globex", (F.col("region") == "eu") & (F.col("n_tok") > 24)),
+    ]
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make the package importable on Python workers even when the session
+    was created by the driver harness (spark-submit --py-files analog)."""
+    try:
+        spark.sparkContext.addPyFile(package_zip())
+    except Exception:
+        pass  # already added
+
+
+# ---------------------------------------------------------------------------
+# Spark-side pipeline over documents (uses the real operators)
+
+def _tokens_of_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tokenize_documents(spark, sf_dir)
+
+
+def _parsed_docs(spark: SparkSession, sf_dir: str, vectorized: bool = False) -> DataFrame:
+    df = _tokens_of_docs(spark, sf_dir)
+    df = render_lines(df, out="line")
+    if vectorized:
+        ensure_shipped(spark)
+        df = regex_parser(df, LINE_PATTERN, parse_from="line", on_error="send")
+    else:
+        df = regex_parser_native(df, LINE_PATTERN, PARSE_NAMES, parse_from="line")
+    df = time_parser(df, "ts_str", layout="yyyy-MM-dd'T'HH:mm:ss'Z'", parse_to="ts")
+    df = attach_severity(df, "level")
+    return (
+        df.withColumn("doc_idx", row_idx_col(F.col("doc_id")))
+        .withColumn("ts_unix", F.unix_timestamp(F.col("ts")))
+    )
+
+
+def _enriched_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed_docs(spark, sf_dir)
+    return df.join(F.broadcast(doc_lookup_df(spark)), on="source", how="left")
+
+
+# shared oracle CTE prefix (DuckDB)
+_SQL_BASE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(list_filter(str_split_regex(text, '\\s+'), w -> length(w) > 0),
+                        w -> {word_token_sql('w')}) AS tokens,
+         source
+  FROM documents
+), base AS (
+  SELECT doc_id, tokens, CAST(len(tokens) AS INT) AS n_tok, source,
+         (len(tokens) >= 2 AND tokens[2] % 97 = 0) AS malformed,
+         ['trace','debug','info','info2','warn','error','fatal'][tokens[1] % 7 + 1] AS level
+  FROM tok
+), parsed AS (
+  SELECT doc_id, tokens, n_tok, source,
+         CASE WHEN malformed THEN 'default' ELSE level END AS severity_text,
+         CASE WHEN malformed THEN 0 ELSE
+           CASE level WHEN 'trace' THEN 1 WHEN 'debug' THEN 5 WHEN 'info' THEN 9
+                      WHEN 'info2' THEN 10 WHEN 'warn' THEN 13 WHEN 'error' THEN 17
+                      WHEN 'fatal' THEN 21 END
+         END AS severity_number,
+         CASE WHEN malformed THEN NULL ELSE {EPOCH} + doc_id % {MONTH} END AS ts_unix
+  FROM base
+), enriched AS (
+  SELECT p.*, l.team, l.region, l.tier, l.sample_pct
+  FROM parsed p LEFT JOIN {_lookup_values_sql()} USING (source)
+)
+"""
+
+_ROUTE_CASE = (
+    "CASE WHEN tier = 'prod' THEN 'acme' "
+    "WHEN region = 'eu' AND n_tok > 24 THEN 'globex' "
+    "ELSE 'default' END"
+)
+
+
+# ---------------------------------------------------------------------------
+# query registry
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → rows-only check
+
+
+def _q_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _tokens_of_docs(spark, sf_dir)
+    return df.select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        F.concat_ws(",", F.col("tokens")).alias("tokens_str"),
+        F.col("n_tok"),
+        F.col("source"),
+    )
+
+
+_SQL_TOKENIZE = _SQL_BASE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       array_to_string(tokens, ',') AS tokens_str,
+       n_tok, source
+FROM base
+"""
+
+
+def _q_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed_docs(spark, sf_dir)
+    return df.select(
+        F.col("doc_idx").alias("doc_id"),
+        "severity_text",
+        "severity_number",
+        "ts_unix",
+        "source",
+        "n_tok",
+    )
+
+
+def _q_parse_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _parsed_docs(spark, sf_dir, vectorized=True)
+    return df.select(
+        F.col("doc_idx").alias("doc_id"),
+        "severity_text",
+        "severity_number",
+        "ts_unix",
+        "source",
+        "n_tok",
+    )
+
+
+_SQL_PARSE = _SQL_BASE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, severity_text, severity_number,
+       CAST(ts_unix AS BIGINT) AS ts_unix, source, n_tok
+FROM parsed
+"""
+
+
+def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched_docs(spark, sf_dir)
+    return df.select(
+        F.col("doc_idx").alias("doc_id"), "source", "team", "region", "tier"
+    )
+
+
+_SQL_ENRICH = _SQL_BASE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source, team, region, tier FROM enriched
+"""
+
+
+def _q_route_match_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched_docs(spark, sf_dir)
+    routed = route_match_once(df, doc_routes())
+    return routed.select(F.col("doc_idx").alias("doc_id"), "route")
+
+
+_SQL_ROUTE_ONCE = _SQL_BASE + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {_ROUTE_CASE} AS route FROM enriched
+"""
+
+
+def _q_route_multicast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched_docs(spark, sf_dir)
+    routed = route_multicast(df, doc_routes())
+    return routed.select(F.col("doc_idx").alias("doc_id"), "route")
+
+
+_SQL_ROUTE_MULTI = _SQL_BASE + """
+, m AS (
+  SELECT doc_id, 'acme' AS route FROM enriched WHERE coalesce(tier = 'prod', FALSE)
+  UNION ALL
+  SELECT doc_id, 'globex' FROM enriched WHERE coalesce(region = 'eu' AND n_tok > 24, FALSE)
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, route FROM m
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id, 'default' AS route FROM enriched
+WHERE NOT coalesce(tier = 'prod', FALSE)
+  AND NOT coalesce(region = 'eu' AND n_tok > 24, FALSE)
+"""
+
+
+def _q_agg_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _enriched_docs(spark, sf_dir)
+    routed = route_match_once(df, doc_routes())
+    return routed.groupBy("route", "source", "severity_text").agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum("n_tok").cast("long").alias("token_count"),
+    )
+
+
+_SQL_AGG = _SQL_BASE + f"""
+, routed AS (SELECT *, {_ROUTE_CASE} AS route FROM enriched)
+SELECT route, source, severity_text,
+       COUNT(*) AS row_count, CAST(SUM(n_tok) AS BIGINT) AS token_count
+FROM routed GROUP BY route, source, severity_text
+"""
+
+
+def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sampler import probabilistic_sample
+
+    df = _enriched_docs(spark, sf_dir)
+    kept = probabilistic_sample(
+        df, key=F.col("doc_idx"), pct=F.coalesce(F.col("sample_pct"), F.lit(100.0))
+    )
+    return kept.select(F.col("doc_idx").alias("doc_id"), "source")
+
+
+_SQL_SAMPLER = _SQL_BASE + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM enriched
+WHERE (doc_id * {_KNUTH}) % {SAMPLER_BUCKETS} < coalesce(sample_pct, 100.0) * {SAMPLER_BUCKETS} / 100.0
+"""
+
+
+# --- events-based queries (json parse, severity alias, windows, redaction) --
+
+def _q_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+_SQL_JSON = "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+
+_EVENT_SEV = [
+    ("error", "error", 17),
+    ("click", "debug", 5),
+    ("view", "trace", 1),
+    ("signup", "info", 9),
+    ("purchase", "info2", 10),
+]
+
+
+def _q_severity_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    alias = None
+    for et, sev, _n in _EVENT_SEV:
+        c = F.when(F.col("event_type") == et, sev)
+        alias = c if alias is None else alias.when(F.col("event_type") == et, sev)
+    ev = ev.withColumn("sev_alias", alias)
+    ev = attach_severity(ev, "sev_alias")
+    return ev.groupBy("event_type", "severity_text", "severity_number").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+_SQL_SEV_EVENTS = """
+WITH m AS (
+  SELECT event_type,
+         CASE event_type WHEN 'error' THEN 'error' WHEN 'click' THEN 'debug'
+              WHEN 'view' THEN 'trace' WHEN 'signup' THEN 'info'
+              WHEN 'purchase' THEN 'info2' END AS severity_text,
+         CASE event_type WHEN 'error' THEN 17 WHEN 'click' THEN 5
+              WHEN 'view' THEN 1 WHEN 'signup' THEN 9
+              WHEN 'purchase' THEN 10 END AS severity_number
+  FROM events
+)
+SELECT event_type, severity_text, severity_number, COUNT(*) AS cnt
+FROM m GROUP BY 1, 2, 3
+"""
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", F.row_number().over(w).alias("rn")
+    )
+
+
+_SQL_WINDOW_RANK = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+FROM events
+"""
+
+
+def _q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+_SQL_RUNNING = """
+SELECT event_id, user_id,
+       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+       ) AS running_cents
+FROM events
+"""
+
+
+def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.redaction import mask_values
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mask_values(ev, "props", r"[0-9]+", "#").select("event_id", "props")
+
+
+_SQL_REDACT = "SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS props FROM events"
+
+
+# --- classic relational coverage (the capability gap the reference lacks) ---
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100)).cast("long").alias("base_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(SUM(round(l_extendedprice * 100)) AS BIGINT) AS base_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("cust_count"),
+            F.sum(F.round(F.col("c_acctbal") * 100)).cast("long").alias("acctbal_cents"),
+        )
+    )
+
+
+_SQL_JOIN_AGG = """
+SELECT r_name, n_name, COUNT(*) AS cust_count,
+       CAST(SUM(round(c_acctbal * 100)) AS BIGINT) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def _q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("total_cents")
+        )
+    )
+
+
+_SQL_TOPK = """
+SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+REGISTRY: list[Query] = [
+    Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
+    Query("parse_severity", _q_parse, _SQL_PARSE),
+    Query("parse_severity_vectorized", _q_parse_vectorized, _SQL_PARSE),
+    Query("enrich_lookup", _q_enrich, _SQL_ENRICH),
+    Query("route_match_once", _q_route_match_once, _SQL_ROUTE_ONCE),
+    Query("route_multicast", _q_route_multicast, _SQL_ROUTE_MULTI),
+    Query("agg_counts", _q_agg_counts, _SQL_AGG),
+    Query("sampler", _q_sampler, _SQL_SAMPLER),
+    Query("json_parse", _q_json_parse, _SQL_JSON),
+    Query("severity_events", _q_severity_events, _SQL_SEV_EVENTS),
+    Query("window_rank", _q_window_rank, _SQL_WINDOW_RANK),
+    Query("running_sum", _q_running_sum, _SQL_RUNNING),
+    Query("redact", _q_redact, _SQL_REDACT),
+    Query("tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1),
+    Query("join_agg", _q_join_agg, _SQL_JOIN_AGG),
+    Query("topk_orders", _q_topk_orders, _SQL_TOPK),
+]

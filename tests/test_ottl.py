@@ -1,0 +1,165 @@
+"""OTTL statement corpus — the `pkg/ottl/e2e/e2e_test.go` analog.
+
+Each case: one statement applied to the canonical log record; assert the
+mutated row. Input mirrors the constructed record of the reference e2e test
+(body "operationA", attributes/resource maps, INFO severity).
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_contrib_spark.ottl import (
+    compile_condition,
+    compile_statement,
+)
+from opentelemetry_collector_contrib_spark.ottl.compiler import apply_statements
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("observed_ts", T.TimestampType()),
+        T.StructField("severity_text", T.StringType()),
+        T.StructField("severity_number", T.IntegerType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+        T.StructField("n_tok", T.IntegerType()),
+    ]
+)
+
+TS = datetime.datetime(2024, 2, 3, 13, 4, 5)
+
+
+def base_row():
+    return {
+        "ts": TS,
+        "observed_ts": TS,
+        "severity_text": "info",
+        "severity_number": 9,
+        "body": "operationA",
+        "attributes": {"http.method": "get", "http.path": "/health", "flags": "A|B|C", "total.string": "123456789"},
+        "resource": {"host.name": "localhost", "required": "foo"},
+        "trace_id": "0102030405060708090a0b0c0d0e0f10",
+        "span_id": "0102030405060708",
+        "n_tok": 42,
+    }
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame([Row(**base_row())], SCHEMA)
+
+
+def run(df, stmt):
+    out = compile_statement(df, stmt)
+    return out.collect()[0].asDict()
+
+
+CASES = [
+    # (statement, field, expected)
+    ('set(attributes["test"], "pass")', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where body == "operationA"', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where body == "operationB"', None, ("attributes.test", None)),
+    ('set(attributes["test"], "pass") where body == "operationA" and severity_number == 9', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where body == "x" or severity_text == "info"', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where not (body == "operationB")', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where severity_number < 10', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where severity_number <= 9', None, ("attributes.test", "pass")),
+    ('set(attributes["test"], "pass") where severity_number > 100', None, ("attributes.test", None)),
+    ('set(attributes["test"], "pass") where attributes["doesnt_exist"] == nil', None, ("attributes.test", "pass")),
+    ('set(severity_text, "warn")', "severity_text", "warn"),
+    ('set(severity_number, 13)', "severity_number", 13),
+    ('set(severity_number, severity_number + 4)', "severity_number", 13),
+    ('set(severity_number, severity_number - 4)', "severity_number", 5),
+    ('set(severity_number, severity_number * 2)', "severity_number", 18),
+    ('set(attributes["m"], n_tok / 2)', None, ("attributes.m", "21.0")),
+    ('set(body, Concat([severity_text, body], ": "))', "body", "info: operationA"),
+    ('set(body, ConvertCase(body, "upper"))', "body", "OPERATIONA"),
+    ('set(body, ConvertCase("HTTPStatusCode", "snake"))', "body", "http_status_code"),
+    ('set(body, ConvertCase("http_status_code", "camel"))', "body", "HttpStatusCode"),
+    ('set(attributes["d"], Double("3"))', None, ("attributes.d", "3.0")),
+    ('set(attributes["i"], Int("123"))', None, ("attributes.i", "123")),
+    ('set(attributes["i"], Int(2.7))', None, ("attributes.i", "2")),
+    ('set(attributes["s"], String(42))', None, ("attributes.s", "42")),
+    ('set(attributes["sha"], SHA256("x"))', None, ("attributes.sha", "2d711642b726b04401627ca9fbac32f5c8530fb1903cc4db02258717921a4881")),
+    ('set(attributes["h"], Hour(time))', None, ("attributes.h", "13")),
+    ('set(attributes["test"], "pass") where IsMatch(body, "^operation[AC]$")', None, ("attributes.test", "pass")),
+    ('set(attributes["l"], Len(body))', None, ("attributes.l", "10")),
+    ('set(attributes["sub"], Substring(body, 0, 3))', None, ("attributes.sub", "ope")),
+    ('set(attributes["up"], Split(attributes["flags"], "|"))', None, None),  # just must not error
+    ('set(attributes["u"], UnixSeconds(time))', None, ("attributes.u", str(int(TS.replace(tzinfo=datetime.timezone.utc).timestamp())))),
+    ('set(body, Base64Decode("cGFzcw=="))', "body", "pass"),
+    ('set(attributes["b"], Concat(["a", "b"], "-"))', None, ("attributes.b", "a-b")),
+    ('delete_key(attributes, "http.method")', None, ("attributes.http.method", None)),
+    ('delete_matching_keys(attributes, "^http.*")', None, ("attributes.http.path", None)),
+    ('keep_keys(attributes, ["flags"])', "attributes", {"flags": "A|B|C"}),
+    ('truncate_all(attributes, 3)', None, ("attributes.flags", "A|B")),
+    ('replace_pattern(attributes["http.method"], "get", "post")', None, ("attributes.http.method", "post")),
+    ('replace_match(attributes["http.path"], "/health*", "/sanitized")', None, ("attributes.http.path", "/sanitized")),
+    ('replace_all_matches(attributes, "/health*", "/masked")', None, ("attributes.http.path", "/masked")),
+    ('replace_all_patterns(attributes, "value", "get", "GET")', None, ("attributes.http.method", "GET")),
+    ('replace_all_patterns(attributes, "key", "http\\.", "web_")', None, ("attributes.web_method", "get")),
+    ('set(attributes["ex"], ExtractPatterns(body, "op(?P<rest>.*)"))', None, None),
+    ('set(attributes["tu"], TruncateTime(time, "hour"))', None, ("attributes.tu", "2024-02-03 13:00:00")),
+]
+
+
+@pytest.mark.parametrize("stmt,fld,expected", CASES, ids=[c[0][:48] for c in CASES])
+def test_statement(df, stmt, fld, expected):
+    got = run(df, stmt)
+    if fld is not None:
+        assert got[fld] == expected, f"{stmt}: {got[fld]!r} != {expected!r}"
+    elif expected is not None:
+        path, want = expected
+        assert path.startswith("attributes.")
+        key = path[len("attributes."):]
+        assert got["attributes"].get(key) == want, f"{stmt}: attributes={got['attributes']}"
+
+
+def test_merge_maps_modes(df, spark):
+    d2 = df.withColumn(
+        "cache",
+        F.create_map(F.lit("http.method"), F.lit("HEAD"), F.lit("new"), F.lit("v")),
+    )
+    ins = compile_statement(d2, 'merge_maps(attributes, cache, "insert")').collect()[0]
+    assert ins.attributes["http.method"] == "get" and ins.attributes["new"] == "v"
+    upd = compile_statement(d2, 'merge_maps(attributes, cache, "update")').collect()[0]
+    assert upd.attributes["http.method"] == "HEAD" and "new" not in upd.attributes
+    ups = compile_statement(d2, 'merge_maps(attributes, cache, "upsert")').collect()[0]
+    assert ups.attributes["http.method"] == "HEAD" and ups.attributes["new"] == "v"
+
+
+def test_limit_priority(df):
+    out = compile_statement(df, 'limit(attributes, 2, ["total.string"])').collect()[0]
+    assert len(out.attributes) == 2
+    assert "total.string" in out.attributes
+
+
+def test_statement_sequence_order(df):
+    out = apply_statements(
+        df,
+        [
+            'set(attributes["a"], "1")',
+            'set(attributes["a"], "2") where attributes["a"] == "1"',
+            'set(attributes["b"], attributes["a"])',
+        ],
+    ).collect()[0]
+    assert out.attributes["a"] == "2"
+    assert out.attributes["b"] == "2"
+
+
+def test_condition_compile(df):
+    cond = compile_condition('severity_number >= 9 and IsMatch(body, "^op")')
+    assert df.filter(cond).count() == 1
+    cond2 = compile_condition('severity_number < 9 or body == "nope"')
+    assert df.filter(cond2).count() == 0
+
+
+def test_time_comparison(df):
+    out = run(df, 'set(attributes["t"], "old") where time < Now()')
+    assert out["attributes"]["t"] == "old"
