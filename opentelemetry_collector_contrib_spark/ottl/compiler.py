@@ -313,8 +313,14 @@ class Compiler:
 
     # ------------------------------------------------------------- editors
 
-    def statement(self, df: DataFrame, stmt: Statement) -> DataFrame:
+    def statement(
+        self, df: DataFrame, stmt: Statement, extra_cond: Column | None = None
+    ) -> DataFrame:
+        """extra_cond (e.g. a transform-processor group gate) is ANDed with
+        the statement's own where-clause."""
         cond = self.condition(stmt.condition) if stmt.condition is not None else None
+        if extra_cond is not None:
+            cond = extra_cond if cond is None else (cond & extra_cond)
         ed = stmt.editor
         name = ed.name
 
