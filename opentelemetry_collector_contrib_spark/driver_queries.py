@@ -441,6 +441,256 @@ FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
+# --- training-data pipeline operators (dedup / similarity / textstats) -----
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    sig = minhash_signature(toks, "tokens", num_perms=4)
+    return sig.select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        *[F.col(f"mh{i}").alias(f"mh{i}") for i in range(4)],
+    )
+
+
+def _minhash_sql_cte() -> str:
+    from .operators.dedup import MERSENNE, PERM_A, PERM_B
+
+    cols = ", ".join(
+        f"list_min(list_transform(tokens, t -> (CAST(t AS BIGINT)*{PERM_A[i]} + {PERM_B[i]}) % {MERSENNE})) AS mh{i}"
+        for i in range(4)
+    )
+    return f", sig AS (SELECT doc_id, {cols} FROM base)"
+
+
+_SQL_MINHASH = _SQL_BASE + _minhash_sql_cte() + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, mh0, mh1, mh2, mh3 FROM sig
+"""
+
+
+def _q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_signature
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    sig = minhash_signature(toks, "tokens", num_perms=4).withColumn(
+        "doc_idx", row_idx_col(F.col("doc_id"))
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    band0 = (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.mh1") == F.col("b.mh1"))
+    band1 = (F.col("a.mh2") == F.col("b.mh2")) & (F.col("a.mh3") == F.col("b.mh3"))
+    return (
+        a.join(b, (band0 | band1) & (F.col("a.doc_idx") < F.col("b.doc_idx")))
+        .select(F.col("a.doc_idx").alias("doc_a"), F.col("b.doc_idx").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SQL_MINHASH_PAIRS = _SQL_BASE + _minhash_sql_cte() + """
+SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+FROM sig a JOIN sig b
+  ON ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+ AND a.doc_id < b.doc_id
+"""
+
+
+def _q_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_shingles
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    sh = ngram_shingles(toks, "tokens", 3)
+    return sh.select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        F.size("shingles").alias("n_shingles"),
+        F.array_min("shingles").alias("min_shingle"),
+        F.array_max("shingles").alias("max_shingle"),
+    )
+
+
+_SQL_SHINGLES = _SQL_BASE + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens)-1),
+           i -> CAST(tokens[i] AS BIGINT)*2525766049 + CAST(tokens[i+1] AS BIGINT)*50257 + tokens[i+2])) AS shingles
+  FROM base
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(shingles) AS INT) AS n_shingles,
+       list_min(shingles) AS min_shingle,
+       list_max(shingles) AS max_shingle
+FROM sh
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    return simhash(toks, "tokens", bits=16).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), F.col("simhash")
+    )
+
+
+def _simhash_sql() -> str:
+    K = 2654435761
+    bits = []
+    for j in range(16):
+        pow2 = 1 << j
+        bits.append(
+            f"CASE WHEN CAST(list_sum(list_transform(tokens, t -> CASE WHEN (CAST(t AS BIGINT)*{K} // {pow2}) % 2 = 1 THEN 1 ELSE -1 END)) AS BIGINT) >= 0 THEN {pow2} ELSE 0 END"
+        )
+    return " + ".join(bits)
+
+
+_SQL_SIMHASH = _SQL_BASE + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM base
+"""
+
+
+def _q_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.recombine import recombine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marked = docs.withColumn(
+        "line",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit("START ")).otherwise(F.lit("")),
+            F.col("text"),
+        ),
+    )
+    out = recombine(marked, "source", "doc_id", "line", r"^START", combine_with=" ")
+    return out.select(
+        "source", F.col("segment_id"), F.col("n_lines"), F.col("combined")
+    )
+
+
+_SQL_RECOMBINE = """
+WITH marked AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'START ' || text ELSE text END AS line
+  FROM documents
+), seg AS (
+  SELECT source, doc_id, line,
+         SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY doc_id) AS seg_id
+  FROM marked
+)
+SELECT source, CAST(seg_id AS VARCHAR) AS segment_id,
+       COUNT(*) AS n_lines,
+       string_agg(line, ' ' ORDER BY doc_id) AS combined
+FROM seg GROUP BY source, seg_id
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, ["text"], "doc_id").select("doc_id")
+
+
+_SQL_DEDUP_EXACT = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+"""
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import LANG_STOPWORDS, words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = words_col(F.col("text"))
+    en = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.length("text").cast("int").alias("n_chars_meas"),
+        F.size(F.filter(w, lambda x: F.array_contains(en, x))).alias("stop_hits"),
+    )
+
+
+_SQL_TEXT_STATS = """
+SELECT doc_id,
+       CAST(len(list_filter(str_split_regex(lower(text), '\\s+'), w -> length(w) > 0)) AS INT) AS n_words,
+       CAST(length(text) AS INT) AS n_chars_meas,
+       CAST(len(list_filter(str_split_regex(lower(text), '\\s+'),
+            w -> list_contains(['the','and','of','to','in','is','that','it','was','for'], w))) AS INT) AS stop_hits
+FROM documents
+"""
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return language_id(docs, "text").select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    from .operators.textstats import LANG_STOPWORDS
+
+    structs = []
+    for lang, stops in LANG_STOPWORDS.items():
+        lst = ", ".join(f"'{s}'" for s in stops)
+        hits = (
+            f"CAST(len(list_filter(str_split_regex(lower(text), '\\s+'), "
+            f"w -> list_contains([{lst}], w))) AS INT)"
+        )
+        structs.append(f"struct_pack(hits := {hits}, lang := '{lang}')")
+    best = f"list_max([{', '.join(structs)}])"
+    return f"""
+SELECT doc_id,
+       CASE WHEN ({best}).hits > 0 THEN ({best}).lang ELSE 'und' END AS lang_pred
+FROM documents
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprint
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    return fingerprint(toks, "tokens").select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), F.col("fp")
+    )
+
+
+_SQL_FINGERPRINT = _SQL_BASE + """
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(tokens, t -> CAST(t AS BIGINT))),
+                   (a, b) -> (a*31 + b) % 2147483647) AS fp
+FROM base
+"""
+
+
+def _q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = brute_force_topk(emb, queries, id_col="vec_id", vec_col="embedding", k=5, metric="qdot")
+    return out.select(
+        "query_id", "vec_id", F.col("score").alias("qdot"), F.col("rank").cast("int").alias("rank")
+    )
+
+
+_SQL_EMB_TOPK = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         CAST(list_sum(list_transform(range(1, len(q.embedding)+1),
+           i -> CAST(round(CAST(q.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(round(CAST(c.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qdot
+  FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+  WHERE q.vec_id < 3
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -458,4 +708,14 @@ REGISTRY: list[Query] = [
     Query("tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1),
     Query("join_agg", _q_join_agg, _SQL_JOIN_AGG),
     Query("topk_orders", _q_topk_orders, _SQL_TOPK),
+    Query("minhash_sig", _q_minhash_sig, _SQL_MINHASH),
+    Query("minhash_band_pairs", _q_minhash_band_pairs, _SQL_MINHASH_PAIRS),
+    Query("shingle_stats", _q_shingle_stats, _SQL_SHINGLES),
+    Query("simhash", _q_simhash, _SQL_SIMHASH),
+    Query("recombine", _q_recombine, _SQL_RECOMBINE),
+    Query("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
+    Query("text_stats", _q_text_stats, _SQL_TEXT_STATS),
+    Query("langid", _q_langid, _langid_sql()),
+    Query("fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
+    Query("embedding_topk", _q_embedding_topk, _SQL_EMB_TOPK),
 ]

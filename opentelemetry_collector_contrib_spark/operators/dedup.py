@@ -1,0 +1,238 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's scope (the collector has no dedup), these are the
+standard corpus-dedup family expressed Spark-first:
+
+- exact        : group by content hash — one shuffle of (hash, id), never of
+                 the payload
+- MinHash+LSH  : signature = array_min over k permutations (JVM transform);
+                 banding → bucket self-join → candidate pairs; connected
+                 components by iterative label propagation
+- SimHash      : per-bit ±1 majority over token hashes, expression-generated
+- n-gram Jaccard : shingle sets → inverted index join → |∩| / |∪|
+
+All shuffles key on small integers/hashes; payloads stay columnar until the
+final keep/drop join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+MERSENNE = (1 << 31) - 1  # 2147483647
+VOCAB = 50257
+
+# deterministic permutation constants (seeded splitmix-derived, public math)
+PERM_A = [1203114875, 660373689, 1958351335, 1809982951, 1071840347, 193463927,
+          891921565, 620985613, 1045869055, 1279765361, 427564471, 1520367041,
+          755610139, 1925976797, 342847643, 1667892223]
+PERM_B = [334205349, 1823397521, 92898311, 1375333757, 513935479, 1724586217,
+          266745647, 977123729, 1455721889, 604918147, 1838531173, 120982061,
+          1604650219, 441862103, 1149975929, 717367289]
+
+
+def exact_dedup(df: DataFrame, content_cols: list[str], id_col: str) -> DataFrame:
+    """Keep the min-id row per identical content. The shuffle carries only
+    (sha256(content), id): at 100 TB the payload never moves."""
+    h = F.sha2(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256)
+    hashed = df.withColumn("__h", h)
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signature(
+    df: DataFrame, tokens_col: str, num_perms: int = 8, out_prefix: str = "mh"
+) -> DataFrame:
+    """k-permutation MinHash over the token set — JVM-side transform+min,
+    no Python. Signature columns mh0..mh{k-1}."""
+    t = F.col(tokens_col)
+    out = df
+    for i in range(num_perms):
+        a, b = PERM_A[i % len(PERM_A)], PERM_B[i % len(PERM_B)]
+        out = out.withColumn(
+            f"{out_prefix}{i}",
+            F.array_min(F.transform(t, lambda x: (x.cast("long") * a + b) % MERSENNE)),
+        )
+    return out
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    out_prefix: str = "mh",
+) -> DataFrame:
+    """Band the signature, self-join per band bucket → (doc_a, doc_b) with
+    doc_a < doc_b. The join keys are (band_idx, band_hash) — the classic
+    LSH shuffle; hot buckets are bounded by banding width."""
+    bands = num_perms // rows_per_band
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"{out_prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.hash(*parts).alias("sig")))
+    exploded = sig_df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, "bk.band", "bk.sig")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 10
+) -> DataFrame:
+    """Label propagation: each node converges to the min id of its component.
+    Returns (node, component). Iterative joins — O(diameter) rounds; dedup
+    graphs are near-cliques so 3-5 rounds suffice in practice."""
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def minhash_dedup(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Full near-dup pipeline: signature → LSH pairs → components → keep the
+    min-id representative of each component."""
+    sig = minhash_signature(df, tokens_col, num_perms)
+    pairs = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band)
+    comp = connected_components(pairs)
+    dupes = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(dupes, on=id_col, how="left_anti")
+
+
+def simhash(df: DataFrame, tokens_col: str, bits: int = 16, out: str = "simhash") -> DataFrame:
+    """SimHash over token hashes: bit j of each token's mixed hash votes ±1;
+    sign of the per-bit sum forms the fingerprint. Expression-generated —
+    bits × aggregate over the token array, all JVM."""
+    t = F.col(tokens_col)
+    K = 2654435761
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        pow2 = 1 << j
+        vote = F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda a, x: a
+            + F.when(((x.cast("long") * K) / pow2).cast("long") % 2 == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote >= 0, F.lit(pow2)).otherwise(F.lit(0))
+    return df.withColumn(out, acc)
+
+
+def simhash_dup_pairs(df: DataFrame, id_col: str, sim_col: str = "simhash") -> DataFrame:
+    """Exact-fingerprint collision pairs (hamming-0 bucket join); for
+    hamming≤k, band the fingerprint into k+1 slices and union the joins."""
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.{sim_col}") == F.col(f"b.{sim_col}"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+
+
+def ngram_shingles(df: DataFrame, tokens_col: str, n: int = 3, out: str = "shingles") -> DataFrame:
+    """Distinct n-gram shingle ids (packed into a long). Guarded for short
+    docs (sequence() would reverse on negative ranges)."""
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    packed = F.transform(
+        idx,
+        lambda i: sum(
+            [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
+            F.lit(0).cast("long"),
+        ),
+    )
+    return df.withColumn(
+        out, F.when(ln >= n, F.array_distinct(packed)).otherwise(F.array().cast("array<bigint>"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame, id_col: str, tokens_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """n-gram Jaccard similarity via inverted-index join:
+    explode shingles → pair counts |∩| → |a∪b| = |a|+|b|−|∩| → filter.
+    Shuffle keys are shingle ids (small longs); the quadratic blow-up is
+    bounded per-shingle (hot shingles ≈ stop-shingles can be frequency-capped
+    upstream)."""
+    sh = ngram_shingles(df, tokens_col, n).select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("set_size")
+    )
+    inv = sh.select(id_col, "set_size", F.explode("shingles").alias("sg"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.set_size").alias("size_a"),
+            F.col("b.set_size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = inter.withColumn(
+        "jaccard",
+        F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )

@@ -1,0 +1,100 @@
+"""Text analysis for training-data pipelines: language-ID, quality scoring,
+token counting, document fingerprinting. All JVM-side column expressions —
+these run over every document at corpus scale, so nothing here leaves
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "para", "en", "que", "no"],
+}
+
+
+def words_col(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: F.length(w) > 0)
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + a BPE-ish sub-word estimate (≈ chars/4 bounded by
+    word granularity — the common corpus-budget heuristic)."""
+    w = words_col(F.col(text_col))
+    n_words = F.size(w)
+    n_chars = F.length(F.col(text_col))
+    bpe_est = F.greatest(n_words, F.ceil(n_chars / 4).cast("int"))
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_chars", n_chars)
+        .withColumn("n_tokens_bpe_est", bpe_est.cast("int"))
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: count hits per language's list, argmax.
+    Ties/no-hits → 'und'. Pure expressions: one pass over the word array per
+    language (4 small array_contains scans)."""
+    w = words_col(F.col(text_col))
+    scores = []
+    for lang, stops in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(w, lambda x: F.array_contains(arr, x)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    pred = F.when(best.getField("hits") > 0, best.getField("lang")).otherwise("und")
+    return df.withColumn(out, pred)
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality signals (Gopher/C4-style filters):
+    word count bounds, mean word length, symbol ratio, digit ratio,
+    stopword presence. Score in [0,1]; each signal is a clipped penalty."""
+    text = F.col(text_col)
+    w = words_col(text)
+    n_words = F.size(w)
+    n_chars = F.length(text)
+    mean_wl = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    symbols = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    digit_ratio = F.when(n_chars > 0, digits / n_chars).otherwise(0.0)
+    symbol_ratio = F.when(n_chars > 0, symbols / n_chars).otherwise(0.0)
+    en_stops = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(w, lambda x: F.array_contains(en_stops, x)))
+
+    ok_len = (n_words >= 5) & (n_words <= 100000)
+    ok_wl = (mean_wl >= 2) & (mean_wl <= 12)
+    score = (
+        ok_len.cast("double") * 0.3
+        + ok_wl.cast("double") * 0.2
+        + (1.0 - F.least(digit_ratio * 5, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(symbol_ratio * 5, F.lit(1.0))) * 0.2
+        + F.least(stop_hits.cast("double") / 2, F.lit(1.0)) * 0.1
+    )
+    return (
+        df.withColumn("mean_word_len", mean_wl)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("quality", F.round(score, 4))
+    )
+
+
+def fingerprint(df: DataFrame, tokens_col: str = "tokens", out: str = "fp") -> DataFrame:
+    """Rolling polynomial hash over the token sequence (order-sensitive
+    document fingerprint): fp = fold(tokens, acc*31+t mod 2^31-1). The
+    modulus keeps acc*31 far below int64 overflow so the fold is exact (and
+    oracle-reproducible) in any engine."""
+    P = (1 << 31) - 1
+    return df.withColumn(
+        out,
+        F.aggregate(
+            F.col(tokens_col),
+            F.lit(0).cast("long"),
+            lambda acc, t: (acc * 31 + t.cast("long")) % P,
+        ),
+    )

@@ -1,0 +1,145 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from opentelemetry_collector_contrib_spark.operators import dedup as dd
+from opentelemetry_collector_contrib_spark.operators import similarity as sim
+from opentelemetry_collector_contrib_spark.operators import textstats as ts
+from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, tokens=[1, 2, 3, 4, 5, 6, 7, 8], text="the cat sat on the mat"),
+        Row(doc_id=1, tokens=[1, 2, 3, 4, 5, 6, 7, 8], text="the cat sat on the mat"),   # exact dup of 0
+        Row(doc_id=2, tokens=[1, 2, 3, 4, 5, 6, 7, 9], text="the cat sat on the hat"),   # near dup
+        Row(doc_id=3, tokens=[50, 60, 70, 80, 90, 100, 110, 120], text="der hund und die katze"),
+        Row(doc_id=4, tokens=[51, 61, 71, 81, 91, 101, 111, 121], text="le chien est dans la maison"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>, text string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        kept = dd.exact_dedup(docs, ["text"], "doc_id")
+        ids = {r.doc_id for r in kept.collect()}
+        assert 0 in ids and 1 not in ids  # min-id representative kept
+        assert ids == {0, 2, 3, 4}
+
+    def test_minhash_lsh(self, docs):
+        deduped = dd.minhash_dedup(docs, "tokens", "doc_id", num_perms=8, rows_per_band=4)
+        ids = {r.doc_id for r in deduped.collect()}
+        assert 0 in ids and 1 not in ids  # identical tokens always collide
+        assert 3 in ids and 4 in ids  # dissimilar docs survive
+
+    def test_lsh_pairs_and_components(self, docs):
+        sig = dd.minhash_signature(docs, "tokens", 8)
+        pairs = dd.lsh_candidate_pairs(sig, "doc_id", 8, rows_per_band=4)
+        p = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+        assert (0, 1) in p
+        comp = dd.connected_components(pairs)
+        c = {r.node: r.component for r in comp.collect()}
+        assert c[1] == 0
+
+    def test_simhash(self, docs):
+        out = dd.simhash(docs, "tokens", bits=16)
+        vals = {r.doc_id: r.simhash for r in out.collect()}
+        assert vals[0] == vals[1]  # identical docs → identical fingerprint
+        assert 0 <= vals[0] < (1 << 16)
+        pairs = dd.simhash_dup_pairs(out, "doc_id")
+        assert (0, 1) in {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+    def test_ngram_jaccard(self, docs):
+        pairs = dd.jaccard_pairs(docs, "doc_id", "tokens", n=3, threshold=0.4)
+        got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+        assert got[(0, 1)] == 1.0
+        assert 0.4 <= got[(0, 2)] < 1.0  # shares 5 of 6+6-5 shingles... ≥ threshold
+        assert (0, 3) not in got
+
+    def test_shingles_short_doc(self, spark):
+        df = spark.createDataFrame([Row(doc_id=0, tokens=[1, 2])], "doc_id long, tokens array<int>")
+        out = dd.ngram_shingles(df, "tokens", 3).collect()[0]
+        assert out.shingles == []
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(8)
+        rows.append(Row(vec_id=i, embedding=[float(x) for x in v]))
+    # 40 and 41: near-duplicates of 0
+    base = rows[0].embedding
+    rows.append(Row(vec_id=40, embedding=[x * 1.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestSimilarity:
+    def test_brute_force_topk(self, emb):
+        queries = emb.filter("vec_id = 0")
+        out = sim.brute_force_topk(emb, queries, k=5, vec_col="embedding")
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        assert len(rows) == 5
+        assert rows[0].vec_id == 40  # the planted near-dup ranks first
+        assert rows[0].score > 0.999
+        assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+
+    def test_lsh_topk_finds_neardup(self, emb):
+        queries = emb.filter("vec_id = 0")
+        out = sim.lsh_topk(emb, queries, k=5, dim=8, num_planes=4)
+        rows = sorted(out.collect(), key=lambda r: r.rank)
+        assert rows and rows[0].vec_id == 40  # same bucket by construction
+
+    def test_embedding_near_dups(self, emb):
+        pairs = sim.embedding_near_dups(emb, dim=8, threshold=0.999, num_planes=4)
+        assert (0, 40) in {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+
+class TestTextStats:
+    def test_token_count_and_quality(self, docs):
+        out = ts.quality_score(ts.token_count(docs), "text").collect()
+        by_id = {r.doc_id: r for r in out}
+        assert by_id[0].n_words == 6
+        assert 0 < by_id[0].quality <= 1.0
+
+    def test_language_id(self, docs):
+        out = ts.language_id(docs, "text")
+        by_id = {r.doc_id: r.lang_pred for r in out.collect()}
+        assert by_id[0] == "en"
+        assert by_id[3] == "de"
+        assert by_id[4] == "fr"
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, tokens=[1, 2, 3]), Row(doc_id=1, tokens=[3, 2, 1])],
+            "doc_id long, tokens array<int>",
+        )
+        out = {r.doc_id: r.fp for r in ts.fingerprint(df).collect()}
+        assert out[0] != out[1]
+
+
+class TestMultimodal:
+    def test_plumbing_end_to_end(self, spark):
+        media = mm.synthetic_media_df(spark, 50, partitions=4)
+        feats = mm.decode_and_featurize(media, fake=True)
+        rows = feats.collect()
+        assert len(rows) == 50
+        assert all(r.n_bytes == 64 and len(r.feature) == 16 for r in rows)
+        # deterministic: same id → same feature
+        again = {r.media_id: list(r.feature) for r in mm.decode_and_featurize(media, fake=True).collect()}
+        assert all(list(r.feature) == again[r.media_id] for r in rows)
+
+    def test_real_decode_is_stubbed(self, spark):
+        media = mm.synthetic_media_df(spark, 5, partitions=1)
+        with pytest.raises(Exception):  # NotImplementedError inside task
+            mm.decode_and_featurize(media, fake=False).collect()
+
+    def test_frame_sample(self, spark):
+        media = mm.synthetic_media_df(spark, 5, partitions=1)
+        out = mm.frame_sample(media, every_ms=1000)
+        per = out.groupBy("media_id").count().collect()
+        assert all(r["count"] >= 2 for r in per)
