@@ -1,0 +1,184 @@
+"""Source readers — receiver analogs.
+
+- ``read_log_lines``     : filelog receiver batch analog (`receiver/
+  filelogreceiver`, engine `pkg/stanza/fileconsumer`): spark.read.text per
+  line, with file provenance (input_file_name) and a per-file line offset —
+  the (Fingerprint, Offset) coordinates of the reference's checkpoint.
+- ``read_multiline``     : line_start-regex framing (`pkg/stanza/split/
+  split.go:59-194`) via the recombine window.
+- ``read_otlp_json``     : otlpjsonfilereceiver — OTLP/JSON ResourceLogs
+  tree flattened to the columnar log schema (explode the 3-level nesting,
+  `adapter/converter.go` in reverse).
+- streaming variants: same readers through readStream (see streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+    """One row per line with (file, offset) provenance. The offset is the
+    line ordinal within its file — resume coordinates at dataset granularity."""
+    raw = spark.read.text(path).select(
+        F.col("value").alias("line"),
+        F.input_file_name().alias("file"),
+    )
+    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
+    return raw.withColumn("offset", F.row_number().over(w) - 1)
+
+
+def read_multiline(
+    spark: SparkSession,
+    path: str,
+    line_start_regex: str,
+    combine_with: str = "\n",
+) -> DataFrame:
+    """Multiline framing: group physical lines into logical entries starting
+    at line_start_regex (split.go line_start mode)."""
+    from ..operators.recombine import recombine
+
+    lines = read_log_lines(spark, path)
+    out = recombine(
+        lines, "file", "offset", "line", line_start_regex, combine_with=combine_with
+    )
+    return out.withColumnRenamed("combined", "line").select(
+        "file", "segment_id", "n_lines", "line"
+    )
+
+
+# OTLP/JSON: resourceLogs[].scopeLogs[].logRecords[]
+_OTLP_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "resourceLogs",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField(
+                            "resource",
+                            T.StructType(
+                                [
+                                    T.StructField(
+                                        "attributes",
+                                        T.ArrayType(
+                                            T.StructType(
+                                                [
+                                                    T.StructField("key", T.StringType()),
+                                                    T.StructField(
+                                                        "value",
+                                                        T.StructType(
+                                                            [T.StructField("stringValue", T.StringType())]
+                                                        ),
+                                                    ),
+                                                ]
+                                            )
+                                        ),
+                                    )
+                                ]
+                            ),
+                        ),
+                        T.StructField(
+                            "scopeLogs",
+                            T.ArrayType(
+                                T.StructType(
+                                    [
+                                        T.StructField(
+                                            "scope",
+                                            T.StructType([T.StructField("name", T.StringType())]),
+                                        ),
+                                        T.StructField(
+                                            "logRecords",
+                                            T.ArrayType(
+                                                T.StructType(
+                                                    [
+                                                        T.StructField("timeUnixNano", T.StringType()),
+                                                        T.StructField("severityNumber", T.IntegerType()),
+                                                        T.StructField("severityText", T.StringType()),
+                                                        T.StructField(
+                                                            "body",
+                                                            T.StructType(
+                                                                [T.StructField("stringValue", T.StringType())]
+                                                            ),
+                                                        ),
+                                                        T.StructField(
+                                                            "attributes",
+                                                            T.ArrayType(
+                                                                T.StructType(
+                                                                    [
+                                                                        T.StructField("key", T.StringType()),
+                                                                        T.StructField(
+                                                                            "value",
+                                                                            T.StructType(
+                                                                                [
+                                                                                    T.StructField(
+                                                                                        "stringValue",
+                                                                                        T.StringType(),
+                                                                                    )
+                                                                                ]
+                                                                            ),
+                                                                        ),
+                                                                    ]
+                                                                )
+                                                            ),
+                                                        ),
+                                                        T.StructField("traceId", T.StringType()),
+                                                        T.StructField("spanId", T.StringType()),
+                                                    ]
+                                                )
+                                            ),
+                                        ),
+                                    ]
+                                )
+                            ),
+                        ),
+                    ]
+                )
+            ),
+        )
+    ]
+)
+
+
+def _kv_to_map(arr):
+    return F.map_from_entries(
+        F.transform(
+            arr,
+            lambda e: F.struct(
+                e.getField("key").alias("key"),
+                e.getField("value").getField("stringValue").alias("value"),
+            ),
+        )
+    )
+
+
+def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
+    """OTLP/JSON file → flat log-record DataFrame: the 3-level tree explodes
+    into rows; resource/scope context denormalizes onto each record (the
+    columnar inverse of `adapter/converter.go:285-340`)."""
+    raw = spark.read.schema(_OTLP_SCHEMA).json(path)
+    rl = raw.select(F.explode("resourceLogs").alias("rl"))
+    sl = rl.select(
+        _kv_to_map(F.col("rl.resource.attributes")).alias("resource"),
+        F.explode("rl.scopeLogs").alias("sl"),
+    )
+    rec = sl.select(
+        "resource",
+        F.col("sl.scope.name").alias("scope_name"),
+        F.explode("sl.logRecords").alias("r"),
+    )
+    return rec.select(
+        F.timestamp_micros(
+            (F.col("r.timeUnixNano").cast("long") / 1000).cast("long")
+        ).alias("ts"),
+        F.col("r.severityNumber").alias("severity_number"),
+        F.col("r.severityText").alias("severity_text"),
+        F.col("r.body.stringValue").alias("body"),
+        _kv_to_map(F.col("r.attributes")).alias("attributes"),
+        "resource",
+        "scope_name",
+        F.col("r.traceId").alias("trace_id"),
+        F.col("r.spanId").alias("span_id"),
+    )

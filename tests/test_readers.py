@@ -1,0 +1,100 @@
+"""Source reader tests: filelog lines + offsets, multiline framing, OTLP-JSON."""
+
+import json
+
+import pytest
+
+from opentelemetry_collector_contrib_spark.sources.readers import (
+    read_log_lines,
+    read_multiline,
+    read_otlp_json,
+)
+
+
+@pytest.fixture(scope="module")
+def logdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("logs")
+    (d / "a.log").write_text(
+        "ERROR boom\n  at frame1\n  at frame2\nINFO ok\nERROR again\n  at frame3\n"
+    )
+    (d / "b.log").write_text("INFO solo\n")
+    return str(d)
+
+
+def test_read_log_lines_offsets(spark, logdir):
+    df = read_log_lines(spark, logdir)
+    rows = df.collect()
+    assert len(rows) == 7
+    a = sorted(
+        [r for r in rows if r.file.endswith("a.log")], key=lambda r: r.offset
+    )
+    assert [r.offset for r in a] == list(range(6))
+    assert a[0].line == "ERROR boom"
+
+
+def test_multiline_framing(spark, logdir):
+    df = read_multiline(spark, logdir, r"^\S", combine_with="\n")
+    entries = {r.line for r in df.collect()}
+    assert "ERROR boom\n  at frame1\n  at frame2" in entries
+    assert "INFO ok" in entries
+    assert "ERROR again\n  at frame3" in entries
+    assert "INFO solo" in entries
+
+
+@pytest.fixture(scope="module")
+def otlp_file(tmp_path_factory):
+    d = tmp_path_factory.mktemp("otlp")
+    payload = {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "host.name", "value": {"stringValue": "h1"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "lib"},
+                        "logRecords": [
+                            {
+                                "timeUnixNano": "1704067200000000000",
+                                "severityNumber": 9,
+                                "severityText": "Info",
+                                "body": {"stringValue": "hello"},
+                                "attributes": [
+                                    {"key": "k", "value": {"stringValue": "v"}}
+                                ],
+                                "traceId": "0102030405060708090a0b0c0d0e0f10",
+                                "spanId": "0102030405060708",
+                            },
+                            {
+                                "timeUnixNano": "1704067201000000000",
+                                "severityNumber": 17,
+                                "severityText": "Error",
+                                "body": {"stringValue": "boom"},
+                                "attributes": [],
+                                "traceId": "",
+                                "spanId": "",
+                            },
+                        ],
+                    }
+                ],
+            }
+        ]
+    }
+    f = d / "logs.json"
+    f.write_text(json.dumps(payload))
+    return str(f)
+
+
+def test_read_otlp_json(spark, otlp_file):
+    df = read_otlp_json(spark, otlp_file)
+    rows = sorted(df.collect(), key=lambda r: r.severity_number)
+    assert len(rows) == 2
+    r = rows[0]
+    assert r.body == "hello" and r.severity_text == "Info"
+    assert r.resource == {"host.name": "h1"}
+    assert r.attributes == {"k": "v"}
+    assert r.scope_name == "lib"
+    assert str(r.ts).startswith("2024-01-01")
+    assert rows[1].body == "boom" and rows[1].severity_number == 17
