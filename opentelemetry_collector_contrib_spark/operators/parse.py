@@ -89,9 +89,10 @@ def regex_parser(
     out = out.drop(struct_col)
     if on_error.startswith("drop"):
         # a row failed iff every capture group is null
-        out = out.filter(
-            F.greatest(*[F.col(prefix + n).isNotNull() for n in names])
-        )
+        any_ok = F.lit(False)
+        for n in names:
+            any_ok = any_ok | F.col(prefix + n).isNotNull()
+        out = out.filter(any_ok)
     return out
 
 

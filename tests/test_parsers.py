@@ -1,0 +1,91 @@
+"""Unit tests for the parser family (SURVEY §2.2)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from opentelemetry_collector_contrib_spark.operators import parse as P
+from opentelemetry_collector_contrib_spark.operators.grouping import (
+    group_by_attrs,
+    load_balance,
+    resource_detection,
+)
+
+
+@pytest.fixture(scope="module")
+def raw(spark):
+    rows = [
+        Row(line='{"a": 1, "b": "x"}', csvline="1,foo,2.5", kv="k1=v1 k2=v2",
+            url="https://example.com:8443/p/q?x=1&y=2", epoch="1704067200",
+            iso="2024-01-01 12:30:45", hexid="0102030405060708"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_json_parser(spark, raw):
+    out = P.json_parser(raw, "a INT, b STRING", "line").collect()[0]
+    assert out.parsed.a == 1 and out.parsed.b == "x"
+
+
+def test_csv_parser(raw):
+    out = P.csv_parser(raw, "i INT, s STRING, d DOUBLE", "csvline").collect()[0]
+    assert (out.parsed.i, out.parsed.s, out.parsed.d) == (1, "foo", 2.5)
+
+
+def test_key_value_parser(raw):
+    out = P.key_value_parser(raw, "kv", "m").collect()[0]
+    assert out.m == {"k1": "v1", "k2": "v2"}
+
+
+def test_uri_parser(raw):
+    out = P.uri_parser(raw, "url").collect()[0]
+    assert out.uri_scheme == "https"
+    assert out.uri_host == "example.com"
+    assert out.uri_path == "/p/q"
+    assert out.uri_query == "x=1&y=2"
+
+
+def test_time_parser_epoch_and_strptime(raw):
+    out = P.time_parser(raw, "epoch", layout="s", layout_type="epoch").collect()[0]
+    assert str(out.ts) == "2024-01-01 00:00:00"
+    out2 = P.time_parser(raw, "iso", layout="yyyy-MM-dd HH:mm:ss", parse_to="t2").collect()[0]
+    assert str(out2.t2) == "2024-01-01 12:30:45"
+    for unit, val in [("ms", "1704067200000"), ("us", "1704067200000000")]:
+        df = raw.withColumn("e", F.lit(val))
+        got = P.time_parser(df, "e", layout=unit, layout_type="epoch").collect()[0]
+        assert str(got.ts) == "2024-01-01 00:00:00"
+
+
+def test_trace_parser(raw):
+    out = P.trace_parser(raw, "hexid", None).collect()[0]
+    assert out.trace_id == bytes([1, 2, 3, 4, 5, 6, 7, 8])
+
+
+def test_regex_parser_drop_mode(spark):
+    df = spark.createDataFrame(
+        [Row(line="num=5"), Row(line="garbage")], "line string"
+    )
+    sent = P.regex_parser(df, r"num=(?P<n>\d+)", on_error="send").collect()
+    assert len(sent) == 2 and {r.n for r in sent} == {"5", None}
+    dropped = P.regex_parser(df, r"num=(?P<n>\d+)", on_error="drop").collect()
+    assert len(dropped) == 1 and dropped[0].n == "5"
+    # pandas engine parity
+    pand = P.regex_parser(df, r"num=(?P<n>\d+)", on_error="send", engine="pandas").collect()
+    assert {r.n for r in pand} == {"5", None}
+
+
+def test_grouping_ops(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, attributes={"host": f"h{i % 3}"}) for i in range(30)],
+        "id long, attributes map<string,string>",
+    )
+    g = group_by_attrs(df, ["host"])
+    assert "host" in g.columns and g.count() == 30
+    r = resource_detection(df, {"cloud.provider": "aws", "region": "us-1"})
+    assert r.collect()[0]["cloud.provider"] == "aws"
+    lb = load_balance(df, "id", 4)
+    backends = {x.backend for x in lb.collect()}
+    assert backends.issubset(set(range(4))) and len(backends) > 1
+    # determinism
+    lb2 = {(x.id, x.backend) for x in load_balance(df, "id", 4).collect()}
+    assert {(x.id, x.backend) for x in lb.collect()} == lb2
