@@ -691,6 +691,35 @@ SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end OTTL statement sequence over events — parity evidence for
+    the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
+    from .ottl.compiler import apply_statements
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_statements(
+        ev,
+        [
+            'set(sev, "error") where event_type == "error"',
+            'set(sev, "info") where not (event_type == "error")',
+            'set(value_cents, Int(value * 100.0))',
+            'set(upper_type, ConvertCase(event_type, "upper"))',
+            'set(h, SHA256(event_type))',
+        ],
+    )
+    return out.select("event_id", "sev", "value_cents", "upper_type", "h")
+
+
+_SQL_OTTL_TRANSFORM = """
+SELECT event_id,
+       CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS sev,
+       CAST(trunc(value * 100.0) AS BIGINT) AS value_cents,
+       upper(event_type) AS upper_type,
+       sha256(event_type) AS h
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -718,4 +747,5 @@ REGISTRY: list[Query] = [
     Query("langid", _q_langid, _langid_sql()),
     Query("fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
     Query("embedding_topk", _q_embedding_topk, _SQL_EMB_TOPK),
+    Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
 ]

@@ -33,6 +33,30 @@ class Route:
     condition: Column  # compiled OTTL condition (ottl/compiler.py) or any Column
 
 
+def routes_from_ottl(table: list[tuple[str, str]]) -> list["Route"]:
+    """Build the route list from OTTL route statements, exactly the
+    routingconnector config shape (`config.go:22-66`, statements like
+    ``route() where attributes["tier"] == "prod"``). The ``route()`` editor
+    is a noop marker (`internal/common/functions.go:13-28`); only the where
+    clause routes."""
+    from ..ottl.parser import parse_statement
+    from ..ottl.compiler import Compiler
+
+    c = Compiler()
+    out = []
+    for name, stmt_text in table:
+        stmt = parse_statement(stmt_text)
+        if stmt.editor.name != "route":
+            raise ValueError(
+                f"route table statements must use the route() editor, got {stmt.editor.name!r}"
+            )
+        cond = c.condition(stmt.condition) if stmt.condition is not None else None
+        if cond is None:
+            raise ValueError("route() requires a where clause")
+        out.append(Route(name, cond))
+    return out
+
+
 def route_match_once(df: DataFrame, routes: list[Route], out: str = "route") -> DataFrame:
     """First-match-wins scalar route tag (`logs.go:87-89` match_once break)."""
     expr = None
