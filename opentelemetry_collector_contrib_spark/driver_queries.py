@@ -78,6 +78,12 @@ def ensure_shipped(spark: SparkSession) -> None:
         pass  # already added
 
 
+def ensure_utc(spark: SparkSession) -> None:
+    """Time render/parse must be session-TZ independent (oracles compute UTC
+    epochs arithmetically); session.timeZone is a runtime conf."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 # ---------------------------------------------------------------------------
 # Spark-side pipeline over documents (uses the real operators)
 
@@ -86,6 +92,7 @@ def _tokens_of_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _parsed_docs(spark: SparkSession, sf_dir: str, vectorized: bool = False) -> DataFrame:
+    ensure_utc(spark)
     df = _tokens_of_docs(spark, sf_dir)
     df = render_lines(df, out="line")
     if vectorized:
@@ -93,7 +100,7 @@ def _parsed_docs(spark: SparkSession, sf_dir: str, vectorized: bool = False) -> 
         df = regex_parser(df, LINE_PATTERN, parse_from="line", on_error="send")
     else:
         df = regex_parser_native(df, LINE_PATTERN, PARSE_NAMES, parse_from="line")
-    df = time_parser(df, "ts_str", layout="yyyy-MM-dd'T'HH:mm:ss'Z'", parse_to="ts")
+    df = time_parser(df, "ts_str", layout="yyyy-MM-dd'T'HH:mm:ssX", parse_to="ts")
     df = attach_severity(df, "level")
     return (
         df.withColumn("doc_idx", row_idx_col(F.col("doc_id")))

@@ -62,7 +62,9 @@ def parse_stage(df: DataFrame, use_pandas_udf: bool = True) -> DataFrame:
 
         names = ["ts_str", "level", "src", "ntok", "seq_id", "head", "tail"]
         parsed = regex_parser_native(lined, LINE_PATTERN, names, parse_from="line")
-    parsed = time_parser(parsed, "ts_str", layout="yyyy-MM-dd'T'HH:mm:ss'Z'", parse_to="ts")
+    # X parses the trailing Z as a real UTC offset → instant is correct in
+    # any session timezone (a literal-'Z' pattern would read local time)
+    parsed = time_parser(parsed, "ts_str", layout="yyyy-MM-dd'T'HH:mm:ssX", parse_to="ts")
     parsed = attach_severity(parsed, "level")
     return parsed.drop("line")
 
