@@ -727,6 +727,75 @@ FROM events
 """
 
 
+def _q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cumulative_to_delta semantics over the events stream per user."""
+    from .operators.metrics import cumulative_to_delta
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    out = cumulative_to_delta(ev, ["user_id"], "ts", "cents", out="delta_cents")
+    return out.select("event_id", "user_id", "delta_cents")
+
+
+_SQL_LAG_DELTA = """
+SELECT event_id, user_id,
+       CAST(round(value*100) AS BIGINT)
+         - lag(CAST(round(value*100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts) AS delta_cents
+FROM events
+"""
+
+
+def _q_interval_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervalprocessor: last value per (user, day)."""
+    from .operators.metrics import interval_last
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = interval_last(ev, ["user_id"], "ts", "1 day")
+    return out.select(
+        F.unix_timestamp("window_start").alias("day_unix"), "user_id", "cents"
+    )
+
+
+_SQL_INTERVAL_LAST = """
+WITH ranked AS (
+  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_unix, user_id,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC) AS rn
+  FROM events
+)
+SELECT day_unix, user_id, cents FROM ranked WHERE rn = 1
+"""
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spanmetrics-style explicit-bound histogram per event_type."""
+    from .operators.metrics import histogram_buckets
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = histogram_buckets(ev, ["event_type"], "value", [10.0, 100.0])
+    return out.select(
+        "event_type",
+        "le_10_0",
+        "le_100_0",
+        "le_inf",
+        F.round(F.col("value_sum") * 100).cast("long").alias("sum_cents"),
+    )
+
+
+_SQL_HISTOGRAM = """
+SELECT event_type,
+       COUNT(CASE WHEN value <= 10.0 THEN 1 END) AS le_10_0,
+       COUNT(CASE WHEN value <= 100.0 THEN 1 END) AS le_100_0,
+       COUNT(*) AS le_inf,
+       CAST(round(SUM(value)*100) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -755,4 +824,7 @@ REGISTRY: list[Query] = [
     Query("fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
     Query("embedding_topk", _q_embedding_topk, _SQL_EMB_TOPK),
     Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
+    Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
+    Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),
+    Query("histogram", _q_histogram, _SQL_HISTOGRAM),
 ]

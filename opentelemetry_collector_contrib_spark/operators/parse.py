@@ -125,6 +125,49 @@ def csv_parser(
     )
 
 
+def jsonarray_parser(
+    df: DataFrame, element_schema: str, parse_from: str, parse_to: str = "parsed"
+) -> DataFrame:
+    """jsonarray_parser (`parser/jsonarray/parser.go`) → from_json ArrayType."""
+    return df.withColumn(
+        parse_to, F.from_json(F.col(parse_from), f"array<{element_schema}>")
+    )
+
+
+# RFC3164: "<PRI>MMM dd HH:mm:ss HOST TAG: MSG" — pri = facility*8 + severity
+SYSLOG_3164 = (
+    r"^<(?P<pri>\d+)>(?P<ts3164>\w{3}\s+\d+ \d{2}:\d{2}:\d{2}) "
+    r"(?P<host>\S+) (?P<tag>[^:\[]+)(?:\[(?P<pid>\d+)\])?: ?(?P<msg>.*)$"
+)
+# RFC5424: "<PRI>1 ISO8601 HOST APP PROCID MSGID SD MSG"
+SYSLOG_5424 = (
+    r"^<(?P<pri>\d+)>1 (?P<ts5424>\S+) (?P<host>\S+) (?P<app>\S+) "
+    r"(?P<procid>\S+) (?P<msgid>\S+) (?P<sd>(?:-|\[.*?\])) ?(?P<msg>.*)$"
+)
+
+
+def syslog_parser(
+    df: DataFrame, parse_from: str = "line", protocol: str = "rfc3164", year: int = 2024
+) -> DataFrame:
+    """syslog_parser (`parser/syslog/parser.go:58-160`): RFC3164/RFC5424
+    structured parse; PRI splits into facility/severity per the RFC."""
+    pat = SYSLOG_3164 if protocol == "rfc3164" else SYSLOG_5424
+    names = _group_names(pat)
+    out = regex_parser_native(df, pat, names, parse_from=parse_from)
+    pri = F.col("pri").cast("int")
+    out = out.withColumn("facility", (pri / 8).cast("int")).withColumn(
+        "syslog_severity", F.pmod(pri, F.lit(8)).cast("int")
+    )
+    if protocol == "rfc3164":
+        ts = F.to_timestamp(
+            F.concat(F.lit(f"{year} "), F.regexp_replace(F.col("ts3164"), r"\s+", " ")),
+            "yyyy MMM d HH:mm:ss",
+        )
+    else:
+        ts = F.to_timestamp(F.col("ts5424"), "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]X")
+    return out.withColumn("ts", ts)
+
+
 def key_value_parser(
     df: DataFrame,
     parse_from: str,

@@ -90,12 +90,23 @@ def write_routed(
     route_col: str = "route",
     mode: str = "overwrite",
     fmt: str = "parquet",
+    files_per_route: int = 0,
 ) -> None:
     """One write job fans out to per-route directories (Iceberg-table analog;
     `partitionBy` plays `exporter/fileexporter` group_by —
-    grouping_file_exporter.go — and pkg/batchperresourceattr)."""
+    grouping_file_exporter.go — and pkg/batchperresourceattr).
+
+    files_per_route > 0 repartitions on (route, salt) first: with match_once
+    routing a hot route can hold ~half the dataset, and without salting the
+    dynamic-partition writer funnels it through few tasks. The salt spreads
+    each route over N writer tasks — the explicit skew handling of the
+    write path (north rule)."""
+    out = df
+    if files_per_route > 0:
+        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(files_per_route))
+        out = df.repartition(F.col(route_col), salt)
     (
-        df.write.format(fmt)
+        out.write.format(fmt)
         .mode(mode)
         .partitionBy(route_col)
         .save(path)
