@@ -198,11 +198,16 @@ def time_parser(
     layout: str | None = None,
     layout_type: str = "strptime",
     parse_to: str = "ts",
+    on_error: str = "send",
 ) -> DataFrame:
     """time_parser (`operator/helper/time.go:19-26,131-200`).
 
     layout_type: 'strptime'/'gotime' → to_timestamp with a Spark pattern;
     'epoch' → layout one of s/ms/us/ns over numeric input.
+
+    on_error='send' (default) tolerates unparseable strings → null ts
+    (try_to_timestamp; Spark 4 ANSI would otherwise fail the task, which is
+    exactly ErrorMode=propagate — pass on_error='propagate' for that).
     """
     col = F.col(parse_from)
     if layout_type == "epoch":
@@ -218,7 +223,10 @@ def time_parser(
         else:
             raise ValueError(f"unknown epoch unit {unit}")
         return df.withColumn(parse_to, ts)
-    return df.withColumn(parse_to, F.to_timestamp(col, layout))
+    fn = F.to_timestamp if on_error == "propagate" else F.try_to_timestamp
+    if layout is None:
+        return df.withColumn(parse_to, fn(col))
+    return df.withColumn(parse_to, fn(col, F.lit(layout)))
 
 
 def trace_parser(df: DataFrame, trace_from: str = "trace_id_hex", span_from: str | None = "span_id_hex") -> DataFrame:
