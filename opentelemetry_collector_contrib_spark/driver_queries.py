@@ -698,6 +698,39 @@ SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 5
 """
 
 
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join (integer
+    |∩|/|∪| outputs for exact cross-engine equality)."""
+    from .operators.dedup import jaccard_pairs
+
+    toks = _tokens_of_docs(spark, sf_dir).withColumn(
+        "doc_idx", row_idx_col(F.col("doc_id"))
+    ).drop("doc_id").withColumnRenamed("doc_idx", "doc_id")
+    out = jaccard_pairs(toks, "doc_id", "tokens", n=3, threshold=0.4)
+    return out.select("doc_a", "doc_b", "common", "union_size")
+
+
+_SQL_JACCARD = _SQL_BASE + """
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens)-1),
+           i -> CAST(tokens[i] AS BIGINT)*2525766049 + CAST(tokens[i+1] AS BIGINT)*50257 + tokens[i+2])) AS shingles
+  FROM base
+), inv AS (
+  SELECT doc_id, len(shingles) AS set_size, unnest(shingles) AS sg FROM sh
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.set_size AS sa, b.set_size AS sb, COUNT(*) AS common
+  FROM inv a JOIN inv b ON a.sg = b.sg AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       common, (sa + sb - common) AS union_size
+FROM inter
+WHERE common * 1.0 / (sa + sb - common) >= 0.4
+"""
+
+
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OTTL statement sequence over events — parity evidence for
     the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
@@ -827,4 +860,5 @@ REGISTRY: list[Query] = [
     Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),
     Query("histogram", _q_histogram, _SQL_HISTOGRAM),
+    Query("jaccard_pairs", _q_jaccard_pairs, _SQL_JACCARD),
 ]

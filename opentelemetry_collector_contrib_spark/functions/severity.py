@@ -57,21 +57,32 @@ DEFAULT_ALIASES: list[tuple[str, str, int]] = [
 ]
 
 
-def severity_map_df(spark: SparkSession) -> DataFrame:
+def severity_map_df(
+    spark: SparkSession, custom: list[tuple[str, str, int]] | None = None
+) -> DataFrame:
+    """Default alias table, optionally extended/overridden by user mappings
+    (severity_builder.go `mapping:` config: user aliases take precedence)."""
+    rows = list(DEFAULT_ALIASES)
+    if custom:
+        overridden = {c[0] for c in custom}
+        rows = [r for r in rows if r[0] not in overridden] + list(custom)
     return spark.createDataFrame(
-        DEFAULT_ALIASES, "alias string, severity_text string, severity_number int"
+        rows, "alias string, severity_text string, severity_number int"
     )
 
 
 def attach_severity(
-    df: DataFrame, text_col: str, spark: SparkSession | None = None
+    df: DataFrame,
+    text_col: str,
+    spark: SparkSession | None = None,
+    custom: list[tuple[str, str, int]] | None = None,
 ) -> DataFrame:
     """Broadcast-join the alias table; unknown text → default(0).
 
     The join side is ~36 rows → always a BroadcastHashJoin, no shuffle.
     """
     spark = spark or df.sparkSession
-    lut = severity_map_df(spark).withColumnRenamed("alias", "__sev_alias")
+    lut = severity_map_df(spark, custom).withColumnRenamed("alias", "__sev_alias")
     out = df.join(
         F.broadcast(lut),
         F.lower(F.col(text_col)) == F.col("__sev_alias"),

@@ -230,9 +230,8 @@ def jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("common"))
     )
     jac = inter.withColumn(
-        "jaccard",
-        F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
-    )
+        "union_size", F.col("size_a") + F.col("size_b") - F.col("common")
+    ).withColumn("jaccard", F.col("common") / F.col("union_size"))
     return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+        "doc_a", "doc_b", "common", "union_size", "jaccard"
     )

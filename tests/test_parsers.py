@@ -74,6 +74,26 @@ def test_regex_parser_drop_mode(spark):
     assert {r.n for r in pand} == {"5", None}
 
 
+def test_time_parser_error_modes(spark):
+    df = spark.createDataFrame([Row(t="garbage")], "t string")
+    out = P.time_parser(df, "t", layout="yyyy-MM-dd").collect()[0]
+    assert out.ts is None  # on_error=send → null
+    import pytest as _pt
+
+    with _pt.raises(Exception):  # propagate = ErrorMode propagate (task fails)
+        P.time_parser(df, "t", layout="yyyy-MM-dd", on_error="propagate").collect()
+
+
+def test_severity_custom_mapping(spark):
+    from opentelemetry_collector_contrib_spark.functions.severity import attach_severity
+
+    df = spark.createDataFrame([Row(level="oops"), Row(level="warn")], "level string")
+    out = attach_severity(df, "level", custom=[("oops", "error2", 18)])
+    got = {r.level: (r.severity_text, r.severity_number) for r in out.collect()}
+    assert got["oops"] == ("error2", 18)
+    assert got["warn"] == ("warn", 13)
+
+
 def test_grouping_ops(spark):
     df = spark.createDataFrame(
         [Row(id=i, attributes={"host": f"h{i % 3}"}) for i in range(30)],
