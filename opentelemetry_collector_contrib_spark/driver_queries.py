@@ -731,6 +731,50 @@ WHERE common * 1.0 / (sa + sb - common) >= 0.4
 """
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-threshold near-dup pairs, integer-exact: cos(a,b) ≥ 0.4 ⟺
+    qdot>0 ∧ 25·qdot² ≥ 4·qnorm(a)·qnorm(b) over round(x*1000) longs —
+    no floats cross the engine boundary."""
+    from .operators.similarity import _qdot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qn = _qdot(F.col("embedding"), F.col("embedding"))
+    e = emb.select("vec_id", "embedding", qn.alias("qn"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    qd = _qdot(F.col("a.embedding"), F.col("b.embedding"))
+    out = pairs.select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        qd.alias("qdot"),
+        F.col("a.qn").alias("qn_a"),
+        F.col("b.qn").alias("qn_b"),
+    ).filter(
+        (F.col("qdot") > 0)
+        & (F.col("qdot") * F.col("qdot") * 25 >= F.col("qn_a") * F.col("qn_b") * 4)
+    )
+    return out.select("vec_a", "vec_b", "qdot")
+
+
+_SQL_EMB_NEARDUP = """
+WITH q AS (
+  SELECT vec_id, embedding,
+         CAST(list_sum(list_transform(range(1, len(embedding)+1),
+           i -> CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qn
+  FROM embeddings
+), p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.qn AS qn_a, b.qn AS qn_b,
+         CAST(list_sum(list_transform(range(1, len(a.embedding)+1),
+           i -> CAST(round(CAST(a.embedding[i] AS DOUBLE)*1000) AS BIGINT)
+              * CAST(round(CAST(b.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qdot
+  FROM q a JOIN q b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, qdot FROM p
+WHERE qdot > 0 AND qdot*qdot*25 >= qn_a*qn_b*4
+"""
+
+
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OTTL statement sequence over events — parity evidence for
     the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
@@ -861,4 +905,5 @@ REGISTRY: list[Query] = [
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),
     Query("histogram", _q_histogram, _SQL_HISTOGRAM),
     Query("jaccard_pairs", _q_jaccard_pairs, _SQL_JACCARD),
+    Query("embedding_neardup", _q_embedding_neardup, _SQL_EMB_NEARDUP),
 ]
