@@ -127,6 +127,22 @@ def main() -> None:
     tok_path = ensure_tokens_parquet(spark, PIPELINE_ROWS)
     t_full = run_pipeline_job(spark, tok_path, PIPELINE_ROWS)
     results["pipeline_e2e"] = round(t_full, 3)
+
+    # corpus-scale dedup over the same tokens table (training-data ops)
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    tokens = spark.read.parquet(tok_path)
+    t0 = time.time()
+    exact_dedup(tokens, ["tokens"], "doc_id").write.format("noop").mode("overwrite").save()
+    results["dedup_exact_20m"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sig = minhash_signature(tokens.select("doc_id", "tokens"), "tokens", num_perms=8)
+    lsh_candidate_pairs(sig, "doc_id", 8, 4).write.format("noop").mode("overwrite").save()
+    results["minhash_lsh_20m"] = round(time.time() - t0, 3)
     spark.stop()
 
     # pinned scaling matrix

@@ -873,6 +873,32 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming pipeline (availableNow drain through
+    foreachBatch per-route sinks), result read back as a DataFrame.
+    Oracle-SQL-expressible result, so the oracle asserts stream ≡ batch."""
+    import tempfile
+
+    from .sources.tokengen import tokens_df
+    from .streaming.stream_pipeline import run_streaming_to_completion
+
+    ensure_utc(spark)
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="stream_q_")
+    toks = _tokens_of_docs(spark, sf_dir)
+    toks.write.mode("overwrite").parquet(f"{work}/in")
+    run_streaming_to_completion(
+        spark, f"{work}/in", f"{work}/out",
+        lut=doc_lookup_df(spark), routes=doc_routes(),
+    )
+    routed = spark.read.option("basePath", f"{work}/out/data").parquet(
+        f"{work}/out/data"
+    )
+    return routed.select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "route"
+    )
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -906,4 +932,5 @@ REGISTRY: list[Query] = [
     Query("histogram", _q_histogram, _SQL_HISTOGRAM),
     Query("jaccard_pairs", _q_jaccard_pairs, _SQL_JACCARD),
     Query("embedding_neardup", _q_embedding_neardup, _SQL_EMB_NEARDUP),
+    Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
 ]

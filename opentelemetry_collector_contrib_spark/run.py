@@ -40,7 +40,9 @@ def main(argv: list[str] | None = None) -> int:
 
     input_path = args.input
     if args.generate_rows:
-        input_path = f"{args.out.rstrip('/')}/_generated_tokens"
+        # no leading underscore: Spark's file index treats _-prefixed paths
+        # as hidden metadata when listing parents
+        input_path = f"{args.out.rstrip('/')}/generated_tokens"
         tokens_df(spark, args.generate_rows).write.mode("overwrite").parquet(input_path)
     if not input_path:
         ap.error("either --input or --generate-rows is required")

@@ -39,11 +39,17 @@ def stream_tokens_source(
     )
 
 
-def streaming_pipeline(stream: DataFrame, spark: SparkSession, match_once: bool = True) -> DataFrame:
+def streaming_pipeline(
+    stream: DataFrame,
+    spark: SparkSession,
+    match_once: bool = True,
+    lut: DataFrame | None = None,
+    routes=None,
+) -> DataFrame:
     """parse → enrich → route, identical code path to batch."""
     parsed = parse_stage(stream, use_pandas_udf=False)
-    enriched = enrich_stage(parsed, spark)
-    return route_stage(enriched, match_once=match_once)
+    enriched = enrich_stage(parsed, spark, lut=lut)
+    return route_stage(enriched, match_once=match_once, routes=routes)
 
 
 def route_sink(
@@ -98,10 +104,12 @@ def run_streaming_to_completion(
     input_path: str,
     out_dir: str,
     match_once: bool = True,
+    lut: DataFrame | None = None,
+    routes=None,
 ) -> None:
     """Drain all currently-available files (availableNow trigger) through the
     full pipeline into per-route sinks; returns when the backlog is empty."""
     stream = stream_tokens_source(spark, input_path)
-    routed = streaming_pipeline(stream, spark, match_once=match_once)
+    routed = streaming_pipeline(stream, spark, match_once=match_once, lut=lut, routes=routes)
     q = route_sink(routed, out_dir, f"{out_dir}/_checkpoint").start()
     q.awaitTermination()

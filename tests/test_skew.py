@@ -10,27 +10,35 @@ test lives in test_pipeline_e2e.py).
 import pytest
 from pyspark.sql import functions as F
 
-from opentelemetry_collector_contrib_spark.session import get_spark
+# force the non-broadcast path and make AQE treat tiny test data as skewed
+# so the mechanism is observable at test scale
+_SKEW_CONF = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+}
 
 
 @pytest.fixture(scope="module")
-def skew_spark():
-    s = get_spark(
-        master="local[4]",
-        app_name="skew-test",
-        shuffle_partitions=8,
-        extra_conf={
-            # force the non-broadcast path and make AQE treat our tiny data
-            # as skewed so the mechanism is observable at test scale
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
-            "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
-        },
-    )
-    yield s
-    s.stop()
+def skew_spark(spark):
+    """Set skew confs on the shared session and restore afterwards —
+    creating/stopping a second session would kill the process-wide
+    SparkContext for every later test module."""
+    saved = {}
+    for k, v in _SKEW_CONF.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 
 def test_aqe_splits_skewed_join(skew_spark):
