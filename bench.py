@@ -137,7 +137,9 @@ def main() -> None:
 
     tokens = spark.read.parquet(tok_path)
     t0 = time.time()
-    exact_dedup(tokens, ["tokens"], "doc_id").write.format("noop").mode("overwrite").save()
+    exact_dedup(tokens, ["tokens"], "doc_id", method="xxhash128").write.format(
+        "noop"
+    ).mode("overwrite").save()
     results["dedup_exact_20m"] = round(time.time() - t0, 3)
     t0 = time.time()
     sig = minhash_signature(tokens.select("doc_id", "tokens"), "tokens", num_perms=8)

@@ -28,6 +28,9 @@ class TestDedup:
         ids = {r.doc_id for r in kept.collect()}
         assert 0 in ids and 1 not in ids  # min-id representative kept
         assert ids == {0, 2, 3, 4}
+        # fast-hash method agrees
+        ids2 = {r.doc_id for r in dd.exact_dedup(docs, ["text"], "doc_id", method="xxhash128").collect()}
+        assert ids2 == ids
 
     def test_minhash_lsh(self, docs):
         deduped = dd.minhash_dedup(docs, "tokens", "doc_id", num_perms=8, rows_per_band=4)
