@@ -873,6 +873,43 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessionization of the events stream (30-min gap)."""
+    from .operators.sessionize import session_aggregate
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = session_aggregate(ev, ["user_id"], "ts", 1800)
+    return out.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.unix_timestamp("session_start").alias("start_unix"),
+        "duration_s",
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events,
+       CAST(floor(epoch_us(MIN(ts)) / 1000000) AS BIGINT) AS start_unix,
+       CAST(floor((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000) AS BIGINT) AS duration_s
+FROM sess GROUP BY user_id, session_id
+"""
+
+
 def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming pipeline (availableNow drain through
     foreachBatch per-route sinks), result read back as a DataFrame.
@@ -933,4 +970,5 @@ REGISTRY: list[Query] = [
     Query("jaccard_pairs", _q_jaccard_pairs, _SQL_JACCARD),
     Query("embedding_neardup", _q_embedding_neardup, _SQL_EMB_NEARDUP),
     Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
+    Query("sessionize", _q_sessionize, _SQL_SESSIONIZE),
 ]

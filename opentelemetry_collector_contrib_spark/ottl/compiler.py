@@ -178,6 +178,7 @@ def _build_converters() -> None:
     C["Len"] = lambda x: F.coalesce(F.length(_as_col(x)), F.lit(None))
     C["Log"] = lambda x: F.log(_as_col(x).cast("double"))
     C["Now"] = lambda: F.current_timestamp()
+    C["ParseCSV"] = _parse_csv
     C["ParseJSON"] = lambda x: x  # kept as JSON string; pair with json_parser for typed
     C["ParseKeyValue"] = lambda x, pd=" ", kd="=": F.str_to_map(
         _as_col(x), F.lit(_lit_str(pd)), F.lit(_lit_str(kd))
@@ -199,6 +200,22 @@ def _build_converters() -> None:
     C["IsDouble"] = lambda x: F.lit(True)
     C["IsMap"] = lambda x: F.lit(True)
     C["IsList"] = lambda x: F.lit(True)
+
+
+def _parse_csv(x, header, delim: str = ",") -> Column:
+    """ParseCSV(target, headerString) → map<header,value> (func_parse_csv;
+    simple-split mode — the reference's lazy-quote handling is csv_parser's
+    job via from_csv when a schema is known)."""
+    import re as _re
+
+    cols = _lit_str(header).split(delim)
+    vals = F.split(_as_col(x), _re.escape(delim))
+    padded = F.concat(
+        vals, F.array_repeat(F.lit(None).cast("string"), len(cols))
+    )
+    return F.map_from_arrays(
+        F.array(*[F.lit(c) for c in cols]), F.slice(padded, 1, len(cols))
+    )
 
 
 def _convert_case(x, case) -> Column:

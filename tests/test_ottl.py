@@ -160,6 +160,14 @@ def test_condition_compile(df):
     assert df.filter(cond2).count() == 0
 
 
+def test_parse_csv_converter(df):
+    out = compile_statement(df, 'set(cachemap, ParseCSV("1,foo,2.5", "a,b,c"))').collect()[0]
+    assert out.cachemap == {"a": "1", "b": "foo", "c": "2.5"}
+    # short row pads with nulls instead of erroring
+    out2 = compile_statement(df, 'set(cachemap, ParseCSV("only", "a,b"))').collect()[0]
+    assert out2.cachemap == {"a": "only", "b": None}
+
+
 def test_time_comparison(df):
     out = run(df, 'set(attributes["t"], "old") where time < Now()')
     assert out["attributes"]["t"] == "old"
