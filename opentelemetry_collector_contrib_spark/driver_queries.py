@@ -873,6 +873,40 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup + exact distinct aggregation over the routed pipeline —
+    capabilities the reference lacks entirely (SURVEY §2.8) that fall out of
+    Catalyst for free."""
+    df = _enriched_docs(spark, sf_dir)
+    routed = route_match_once(df, doc_routes())
+    out = (
+        routed.rollup("route", "source")
+        .agg(
+            F.count(F.lit(1)).alias("row_count"),
+            F.countDistinct("severity_text").alias("distinct_sev"),
+            F.sum("n_tok").cast("long").alias("token_count"),
+        )
+    )
+    return out.select(
+        F.coalesce(F.col("route"), F.lit("<all>")).alias("route"),
+        F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+        "row_count",
+        "distinct_sev",
+        "token_count",
+    )
+
+
+_SQL_ROLLUP = _SQL_BASE + f"""
+, routed AS (SELECT *, {_ROUTE_CASE} AS route FROM enriched)
+SELECT coalesce(route, '<all>') AS route,
+       coalesce(source, '<all>') AS source,
+       COUNT(*) AS row_count,
+       COUNT(DISTINCT severity_text) AS distinct_sev,
+       CAST(SUM(n_tok) AS BIGINT) AS token_count
+FROM routed GROUP BY ROLLUP (route, source)
+"""
+
+
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user gap sessionization of the events stream (30-min gap)."""
     from .operators.sessionize import session_aggregate
@@ -971,4 +1005,5 @@ REGISTRY: list[Query] = [
     Query("embedding_neardup", _q_embedding_neardup, _SQL_EMB_NEARDUP),
     Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
     Query("sessionize", _q_sessionize, _SQL_SESSIONIZE),
+    Query("agg_rollup", _q_agg_rollup, _SQL_ROLLUP),
 ]
