@@ -114,20 +114,25 @@ def _camel_case(c: Column) -> Column:
     )
 
 
+def duration_text_to_ns(c: str) -> int:
+    """'1h30m' → nanoseconds (Go time.ParseDuration subset)."""
+    import re as _re
+
+    total = 0.0
+    for num, unit in _re.findall(r"([0-9.]+)(ns|us|µs|ms|s|m|h)", c):
+        mult = {
+            "ns": 1, "us": 1e3, "µs": 1e3, "ms": 1e6,
+            "s": 1e9, "m": 6e10, "h": 3.6e12,
+        }[unit]
+        total += float(num) * mult
+    return int(total)
+
+
 def _duration_ns(c) -> Column:
     """Duration("1h30m") → nanoseconds (math.go time±duration support).
     Accepts literal strings at compile time only."""
     if isinstance(c, str):
-        import re as _re
-
-        total = 0.0
-        for num, unit in _re.findall(r"([0-9.]+)(ns|us|µs|ms|s|m|h)", c):
-            mult = {
-                "ns": 1, "us": 1e3, "µs": 1e3, "ms": 1e6,
-                "s": 1e9, "m": 6e10, "h": 3.6e12,
-            }[unit]
-            total += float(num) * mult
-        return F.lit(int(total))
+        return F.lit(duration_text_to_ns(c))
     raise ValueError("Duration() requires a literal string")
 
 
@@ -295,6 +300,13 @@ class Compiler:
             args = [self.value(a) for a in node.args]
             return fn(*args)
         if isinstance(node, BinOp):
+            # time ± duration → time (pkg/ottl/math.go:55-179): a Duration()
+            # operand compiles to a day-time interval instead of raw nanos
+            if node.op in ("+", "-") and _duration_literal(node.right) is not None:
+                ns = _duration_literal(node.right)
+                base = _as_col(self.value(node.left))
+                iv = F.make_dt_interval(secs=F.lit(ns / 1e9))
+                return base + iv if node.op == "+" else base - iv
             l, r = _as_col(self.value(node.left)), _as_col(self.value(node.right))
             return {"+": l + r, "-": l - r, "*": l * r, "/": l / r}[node.op]
         raise ValueError(f"cannot compile value node {node!r}")
@@ -490,6 +502,19 @@ def compile_condition(text: str, ctx: LogContext | None = None) -> Column:
 
 def _nullable_cmp(l, r) -> bool:
     return isinstance(l, Column) or isinstance(r, Column)
+
+
+def _duration_literal(node) -> int | None:
+    """nanos if node is Duration("<literal>") else None."""
+    if (
+        isinstance(node, Call)
+        and node.name == "Duration"
+        and len(node.args) == 1
+        and isinstance(node.args[0], Literal)
+        and isinstance(node.args[0].value, str)
+    ):
+        return duration_text_to_ns(node.args[0].value)
+    return None
 
 
 def apply_statements(

@@ -106,6 +106,27 @@ CASES = [
     ('replace_all_patterns(attributes, "key", "http\\.", "web_")', None, ("attributes.web_method", "get")),
     ('set(attributes["ex"], ExtractPatterns(body, "op(?P<rest>.*)"))', None, None),
     ('set(attributes["tu"], TruncateTime(time, "hour"))', None, ("attributes.tu", "2024-02-03 13:00:00")),
+    # --- corpus extension: arithmetic, coercions, durations, gating ---
+    ('set(severity_number, 2 + 3 * 4)', "severity_number", 14),
+    ('set(attributes["m2"], (n_tok + 8) / 10)', None, ("attributes.m2", "5.0")),
+    ('set(attributes["t"], "y") where severity_number == 9.0', None, ("attributes.t", "y")),  # int/float cross-promote
+    ('set(attributes["t"], "y") where 1 < 2 and 3 >= 3', None, ("attributes.t", "y")),
+    ('set(attributes["t"], "y") where not not (body == "operationA")', None, ("attributes.t", "y")),
+    ('set(attributes["d1"], Seconds(Duration("90s")))', None, ("attributes.d1", "90.0")),
+    ('set(attributes["d2"], Milliseconds(Duration("1s500ms")))', None, ("attributes.d2", "1500")),
+    ('set(attributes["d3"], Minutes(Duration("1h30m")))', None, ("attributes.d3", "90.0")),
+    ('set(ts, time + Duration("1h"))', "ts", __import__("datetime").datetime(2024, 2, 3, 14, 4, 5)),
+    ('set(ts, time - Duration("4s"))', "ts", __import__("datetime").datetime(2024, 2, 3, 13, 4, 1)),
+    ('set(attributes["t"], "y") where time < Now() + Duration("1h")', None, ("attributes.t", "y")),
+    ('delete_key(attributes, "flags") where severity_text == "info"', None, ("attributes.flags", None)),
+    ('delete_key(attributes, "flags") where severity_text == "fatal"', None, ("attributes.flags", "A|B|C")),
+    ('set(attributes["fnv1"], FNV(body))', None, None),  # deterministic: checked below
+    ('set(attributes["low"], ConvertCase(severity_text, "lower"))', None, ("attributes.low", "info")),
+    ('set(attributes["sub2"], Substring(body, 9, 1))', None, ("attributes.sub2", "A")),
+    ('set(body, attributes["http.method"]) where attributes["http.method"] != nil', "body", "get"),
+    ('set(body, "gone") where attributes["nope"] != nil', "body", "operationA"),
+    ('replace_pattern(body, "operation(.)", "op-$1")', "body", "op-A"),
+    ('set(attributes["neg"], 0 - n_tok)', None, ("attributes.neg", "-42")),
 ]
 
 
