@@ -873,6 +873,60 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style regex pre-tokenization: piece counts + boundary pieces."""
+    from .sources.tokenizer import pre_tokenize
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pre_tokenize(docs)
+    return out.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.element_at("pieces", 1).alias("first_piece"),
+        F.element_at("pieces", -1).alias("last_piece"),
+    )
+
+
+_SQL_PRETOKENIZE = """
+WITH p AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]') AS pieces
+  FROM documents
+)
+SELECT doc_id, CAST(len(pieces) AS INT) AS n_pieces,
+       pieces[1] AS first_piece, pieces[-1] AS last_piece
+FROM p
+"""
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (union-tag + carry-forward window, one shuffle):
+    each event gets its user's most recent daily checkpoint value. Oracle is
+    DuckDB's native ASOF JOIN — independent implementations must agree."""
+    from .operators.asof_join import asof_join
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("ts")).agg(
+        F.max("c").alias("ckpt")
+    )
+    out = asof_join(ev, daily, ["user_id"], "ts", ["ckpt"])
+    return out.select("event_id", "user_id", F.col("ckpt_asof").alias("ckpt_cents"))
+
+
+_SQL_ASOF = """
+WITH cents AS (
+  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS c FROM events
+), daily AS (
+  SELECT user_id, date_trunc('day', ts) AS ts, MAX(c) AS ckpt
+  FROM cents GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, d.ckpt AS ckpt_cents
+FROM cents e ASOF LEFT JOIN daily d ON e.user_id = d.user_id AND e.ts >= d.ts
+"""
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup + exact distinct aggregation over the routed pipeline —
     capabilities the reference lacks entirely (SURVEY §2.8) that fall out of
@@ -1006,4 +1060,6 @@ REGISTRY: list[Query] = [
     Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
     Query("sessionize", _q_sessionize, _SQL_SESSIONIZE),
     Query("agg_rollup", _q_agg_rollup, _SQL_ROLLUP),
+    Query("asof_join", _q_asof_join, _SQL_ASOF),
+    Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
 ]

@@ -34,6 +34,17 @@ def tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PRETOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
+
+def pre_tokenize(df: DataFrame, text_col: str = "text", out: str = "pieces") -> DataFrame:
+    """GPT-style regex pre-tokenizer: word pieces + standalone punctuation
+    (BPE front-end shape). regexp_extract_all keeps it JVM-side."""
+    return df.withColumn(
+        out, F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(PRETOKEN_RE), 0)
+    )
+
+
 def tokenize_oracle_sql() -> str:
     """DuckDB equivalent (same word→id formula)."""
     tok = word_token_sql("w")
