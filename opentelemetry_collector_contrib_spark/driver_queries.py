@@ -873,6 +873,54 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join novelty filter: keep documents whose exact text hash is NOT
+    in a reference 'seen' corpus (the incremental-dedup building block)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.sha2(F.col("text"), 256).alias("h")
+    )
+    hashed = docs.withColumn("h", F.sha2(F.col("text"), 256))
+    out = hashed.join(seen, on="h", how="left_anti")
+    return out.select("doc_id")
+
+
+_SQL_NOVELTY = """
+SELECT doc_id FROM documents
+WHERE sha256(text) NOT IN (SELECT sha256(text) FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def _q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: users who both erred AND purchased (INTERSECT),
+    flagged against users who only viewed (EXCEPT)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    buy = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = err.intersect(buy)
+    only_view = (
+        ev.filter(F.col("event_type") == "view").select("user_id").subtract(err)
+    )
+    return both.withColumn("tag", F.lit("err_and_buy")).unionByName(
+        only_view.withColumn("tag", F.lit("view_not_err"))
+    )
+
+
+_SQL_SET_OPS = """
+SELECT user_id, 'err_and_buy' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'error'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'view_not_err' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'view'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
 def _q_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-style regex pre-tokenization: piece counts + boundary pieces."""
     from .sources.tokenizer import pre_tokenize
@@ -1062,4 +1110,6 @@ REGISTRY: list[Query] = [
     Query("agg_rollup", _q_agg_rollup, _SQL_ROLLUP),
     Query("asof_join", _q_asof_join, _SQL_ASOF),
     Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
+    Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
+    Query("set_ops", _q_set_ops, _SQL_SET_OPS),
 ]
