@@ -31,10 +31,18 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
 
-    from .plans.checkpoint import CheckpointedRunner
-    from .plans.pipeline import full_pipeline
-    from .session import get_spark
-    from .sources.tokengen import tokens_df
+    if __package__:
+        from .plans.checkpoint import CheckpointedRunner
+        from .plans.pipeline import full_pipeline
+        from .session import get_spark
+        from .sources.tokengen import tokens_df
+    else:
+        # spark-submit runs this file as a bare script; the package itself
+        # arrives via --py-files, so absolute imports resolve
+        from opentelemetry_collector_contrib_spark.plans.checkpoint import CheckpointedRunner
+        from opentelemetry_collector_contrib_spark.plans.pipeline import full_pipeline
+        from opentelemetry_collector_contrib_spark.session import get_spark
+        from opentelemetry_collector_contrib_spark.sources.tokengen import tokens_df
 
     spark = get_spark(master=args.master)
 
