@@ -65,13 +65,14 @@ SOURCE_LOOKUP_SCHEMA = T.StructType(
     ]
 )
 
+# written by plans/checkpoint.py CheckpointedRunner._append — keep in sync
 CHECKPOINT_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
-        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("chunk_id", T.StringType(), False),
         T.StructField("rows", T.LongType(), False),
         T.StructField("tokens", T.LongType(), False),
-        T.StructField("committed_at", T.TimestampType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
     ]
 )
 

@@ -17,7 +17,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.hashing import SAMPLER_BUCKETS, _KNUTH, word_token_sql
+from .functions.hashing import SAMPLER_BUCKETS, sampler_bucket_sql, word_token_sql
 from .functions.severity import attach_severity
 from .operators.parse import regex_parser, regex_parser_native, time_parser
 from .operators.router import Route, route_match_once, route_multicast
@@ -280,7 +280,7 @@ def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SAMPLER = _SQL_BASE + f"""
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source FROM enriched
-WHERE (doc_id * {_KNUTH}) % {SAMPLER_BUCKETS} < coalesce(sample_pct, 100.0) * {SAMPLER_BUCKETS} / 100.0
+WHERE {sampler_bucket_sql("doc_id")} < coalesce(sample_pct, 100.0) * {SAMPLER_BUCKETS} / 100.0
 """
 
 
@@ -363,9 +363,9 @@ def _q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_RUNNING = """
 SELECT event_id, user_id,
-       SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
-       ) AS running_cents
+       ) AS BIGINT) AS running_cents
 FROM events
 """
 
@@ -477,27 +477,34 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, mh0, mh1, mh2, mh3 FROM sig
 
 
 def _q_minhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import minhash_signature
+    """LSH candidate pairs via the SCALABLE path — explode bands → bucket
+    equi-join on (band, raw band values) (operators/dedup.lsh_candidate_pairs).
+    The checked query IS the 100 TB operator: the physical plan is a shuffled
+    equi-join keyed on band buckets, never a BroadcastNestedLoopJoin (asserted
+    in tests/test_physical_layout.py)."""
+    from .operators.dedup import lsh_candidate_pairs, minhash_signature
 
     toks = _tokens_of_docs(spark, sf_dir)
     sig = minhash_signature(toks, "tokens", num_perms=4).withColumn(
         "doc_idx", row_idx_col(F.col("doc_id"))
     )
-    a, b = sig.alias("a"), sig.alias("b")
-    band0 = (F.col("a.mh0") == F.col("b.mh0")) & (F.col("a.mh1") == F.col("b.mh1"))
-    band1 = (F.col("a.mh2") == F.col("b.mh2")) & (F.col("a.mh3") == F.col("b.mh3"))
-    return (
-        a.join(b, (band0 | band1) & (F.col("a.doc_idx") < F.col("b.doc_idx")))
-        .select(F.col("a.doc_idx").alias("doc_a"), F.col("b.doc_idx").alias("doc_b"))
-        .distinct()
+    return lsh_candidate_pairs(sig, "doc_idx", num_perms=4, rows_per_band=2).select(
+        F.col("doc_a"), F.col("doc_b")
     )
 
 
+# oracle = the same banded equi-join (UNION ALL of per-band buckets); pair
+# set is provably identical to the old OR-of-bands self-join, but both
+# engines now run the plan that survives 100× scale.
 _SQL_MINHASH_PAIRS = _SQL_BASE + _minhash_sql_cte() + """
+, bands AS (
+  SELECT doc_id, 0 AS band, mh0 AS v0, mh1 AS v1 FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, mh2 AS v0, mh3 AS v1 FROM sig
+)
 SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
-FROM sig a JOIN sig b
-  ON ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
- AND a.doc_id < b.doc_id
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.v0 = b.v0 AND a.v1 = b.v1 AND a.doc_id < b.doc_id
 """
 
 
@@ -732,47 +739,59 @@ WHERE common * 1.0 / (sa + sb - common) >= 0.4
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine-threshold near-dup pairs, integer-exact: cos(a,b) ≥ 0.4 ⟺
-    qdot>0 ∧ 25·qdot² ≥ 4·qnorm(a)·qnorm(b) over round(x*1000) longs —
-    no floats cross the engine boundary."""
-    from .operators.similarity import _qdot
+    """Cosine-threshold near-dup pairs (cos ≥ 0.4), integer-exact AND
+    LSH-bucket-pruned: quantized random-hyperplane buckets → bucket
+    equi-join → quantized re-rank (operators/similarity.
+    embedding_near_dups_quantized). The checked query is the scalable
+    operator itself — the plan is a shuffled equi-join on bucket, never a
+    BroadcastNestedLoopJoin (asserted in tests/test_physical_layout.py).
+    cos(a,b) ≥ 2/5 ⟺ qdot>0 ∧ 25·qdot² ≥ 4·qn_a·qn_b over round(x*1000)
+    longs — no floats cross the engine boundary; the oracle reproduces the
+    buckets from the same inlined integer hyperplanes."""
+    from .operators.similarity import embedding_near_dups_quantized
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    qn = _qdot(F.col("embedding"), F.col("embedding"))
-    e = emb.select("vec_id", "embedding", qn.alias("qn"))
-    a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-    qd = _qdot(F.col("a.embedding"), F.col("b.embedding"))
-    out = pairs.select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-        qd.alias("qdot"),
-        F.col("a.qn").alias("qn_a"),
-        F.col("b.qn").alias("qn_b"),
-    ).filter(
-        (F.col("qdot") > 0)
-        & (F.col("qdot") * F.col("qdot") * 25 >= F.col("qn_a") * F.col("qn_b") * 4)
+    return embedding_near_dups_quantized(
+        emb, "vec_id", "embedding", dim=64, num_planes=_NEARDUP_PLANES, seed=42,
+        threshold_num=2, threshold_den=5,
     )
-    return out.select("vec_a", "vec_b", "qdot")
 
 
-_SQL_EMB_NEARDUP = """
+_NEARDUP_PLANES = 4
+
+
+def _emb_neardup_sql() -> str:
+    """Oracle with the hyperplane constants inlined — same integer math,
+    same bucket assignment, same re-rank filter as the Spark operator."""
+    from .operators.similarity import quantized_hyperplanes
+
+    planes = quantized_hyperplanes(64, _NEARDUP_PLANES, seed=42)
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> qe[i] * ({plane}::BIGINT[])[i])) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, plane in enumerate(planes)
+    )
+    return f"""
 WITH q AS (
-  SELECT vec_id, embedding,
-         CAST(list_sum(list_transform(range(1, len(embedding)+1),
-           i -> CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT)
-              * CAST(round(CAST(embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qn
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
   FROM embeddings
+), qb AS (
+  SELECT vec_id, qe,
+         CAST(list_sum(list_transform(qe, x -> x*x)) AS BIGINT) AS qn,
+         ({bits}) AS bucket
+  FROM q
 ), p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.qn AS qn_a, b.qn AS qn_b,
-         CAST(list_sum(list_transform(range(1, len(a.embedding)+1),
-           i -> CAST(round(CAST(a.embedding[i] AS DOUBLE)*1000) AS BIGINT)
-              * CAST(round(CAST(b.embedding[i] AS DOUBLE)*1000) AS BIGINT))) AS BIGINT) AS qdot
-  FROM q a JOIN q b ON a.vec_id < b.vec_id
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS qdot
+  FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, qdot FROM p
 WHERE qdot > 0 AND qdot*qdot*25 >= qn_a*qn_b*4
 """
+
+
+_SQL_EMB_NEARDUP = _emb_neardup_sql()
 
 
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,12 +22,25 @@ from pyspark.sql import functions as F
 SAMPLER_BITS = 14
 SAMPLER_BUCKETS = 1 << SAMPLER_BITS  # 16384
 _KNUTH = 2654435761  # 2^32 / golden ratio
+_M32 = 1 << 32
+_M16 = 1 << 16
+_SHIFT = 1 << (32 - SAMPLER_BITS)  # take the HIGH 14 bits of the 32-bit mix
 
 
 def sampler_bucket_col(key: Column, seed: int = 0) -> Column:
-    """14-bit deterministic bucket of a long key (JVM-side arithmetic)."""
-    mixed = (key.cast("long") + F.lit(seed)) * F.lit(_KNUTH)
-    return F.pmod(mixed, F.lit(SAMPLER_BUCKETS))
+    """14-bit deterministic bucket of a long key (JVM-side arithmetic).
+
+    Knuth multiplicative hash done in modular 2^32 arithmetic: the naive
+    ``(key+seed)*K`` overflows int64 for keys ≥ ~3.5e9 (Spark wraps
+    silently, DuckDB raises → engines diverge), so the multiply is split
+    into 16-bit halves — every intermediate stays < 2^48. Bucket = the HIGH
+    14 bits of ``h*K mod 2^32`` (low bits of a multiplicative hash are the
+    weak ones: they depend only on ``key mod 2^14``)."""
+    h = F.pmod(key.cast("long") + F.lit(seed), F.lit(_M32))
+    lo = h % F.lit(_M16)
+    hi = (h / F.lit(_M16)).cast("long")  # exact: h < 2^32 fits a double
+    mixed = F.pmod(lo * F.lit(_KNUTH) + (hi * F.lit(_KNUTH) % F.lit(_M16)) * F.lit(_M16), F.lit(_M32))
+    return (mixed / F.lit(_SHIFT)).cast("long")
 
 
 def sampler_keep_col(key: Column, pct: Column | float, seed: int = 0) -> Column:
@@ -38,8 +51,14 @@ def sampler_keep_col(key: Column, pct: Column | float, seed: int = 0) -> Column:
 
 
 def sampler_bucket_sql(key_sql: str, seed: int = 0) -> str:
-    """Equivalent DuckDB/ANSI fragment for the correctness oracle."""
-    return f"(((({key_sql}) + {seed}) * {_KNUTH}) % {SAMPLER_BUCKETS} + {SAMPLER_BUCKETS}) % {SAMPLER_BUCKETS}"
+    """Equivalent DuckDB/ANSI fragment for the correctness oracle — the same
+    split-multiply modular mix as ``sampler_bucket_col`` (h ≥ 0 after the
+    initial pmod, so plain % / // suffice downstream)."""
+    h = f"(((({key_sql}) + {seed}) % {_M32} + {_M32}) % {_M32})"
+    lo = f"({h} % {_M16})"
+    hi = f"({h} // {_M16})"
+    mixed = f"(({lo} * {_KNUTH} + ({hi} * {_KNUTH} % {_M16}) * {_M16}) % {_M32})"
+    return f"({mixed} // {_SHIFT})"
 
 
 # word → token id, identical in Spark and DuckDB (both define ascii() as the

@@ -102,14 +102,17 @@ def _apply_one(df: DataFrame, a: Action, map_col: str, cond: Column | None) -> D
 def _extract(m: Column, key: str, pattern: str) -> Column:
     """Named groups of pattern applied to m[key] → new entries; the source
     attribute is kept (reference keeps it too)."""
-    names = list(re.compile(pattern).groupindex.keys())
-    if not names:
+    group_index = re.compile(pattern).groupindex
+    if not group_index:
         raise ValueError("extract requires named capture groups")
     jvm_pat = re.sub(r"\(\?P<[^>]+>", "(", pattern)
     src = m.getItem(key)
     matched = src.rlike(jvm_pat)
     out = m
-    for i, n in enumerate(names):
-        v = F.regexp_extract(src, jvm_pat, i + 1)
+    # true group indices (not position among named groups): unnamed groups
+    # in the pattern still consume an index, matching the reference's
+    # SubexpNames walk (attributesprocessor extract semantics)
+    for n, idx in group_index.items():
+        v = F.regexp_extract(src, jvm_pat, idx)
         out = F.when(matched, _set_key(out, n, v)).otherwise(out)
     return out

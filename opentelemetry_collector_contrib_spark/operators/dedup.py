@@ -55,13 +55,21 @@ def exact_dedup(
         ]
     else:
         raise ValueError(f"unknown method {method!r}")
-    hashed = df.select("*", *keys)
-    w = Window.partitionBy(*[k for k in ("__h1", "__h2") if k in hashed.columns]).orderBy(id_col)
-    return (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h1", "__h2", "__rn")
+    key_names = ["__h1", "__h2"][: len(keys)]
+    # Shuffle ONLY (hash, id): window the projected pair, rn>1 → duplicate
+    # ids, anti-join those back on id. The big shuffle carries 16-24 B/row
+    # instead of the payload; the anti-join's build side is the DUP id set —
+    # empty-to-small for mostly-unique corpora, so AQE turns it into a
+    # broadcast anti-join and the payload never moves at all. (A keeper-side
+    # semi-join would build on ~N ids — always the worse side.)
+    pairs = df.select(F.col(id_col), *keys)
+    w = Window.partitionBy(*key_names).orderBy(id_col)
+    dup_ids = (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(id_col)
     )
+    return df.join(dup_ids, on=id_col, how="left_anti")
 
 
 def minhash_signature(
@@ -88,13 +96,21 @@ def lsh_candidate_pairs(
     out_prefix: str = "mh",
 ) -> DataFrame:
     """Band the signature, self-join per band bucket → (doc_a, doc_b) with
-    doc_a < doc_b. The join keys are (band_idx, band_hash) — the classic
-    LSH shuffle; hot buckets are bounded by banding width."""
+    doc_a < doc_b. The join keys are (band_idx, band values) — the classic
+    LSH shuffle; hot buckets are bounded by banding width.
+
+    The bucket key carries the band's RAW signature values (a struct of
+    rows_per_band ints — same shuffle width class as a hash) instead of a
+    Murmur3 of them: no cross-band hash-collision false positives, and an
+    external engine (the DuckDB oracle) can reproduce the exact pair set."""
     bands = num_perms // rows_per_band
     band_cols = []
     for b in range(bands):
-        parts = [F.col(f"{out_prefix}{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.hash(*parts).alias("sig")))
+        parts = [
+            F.col(f"{out_prefix}{b * rows_per_band + r}").alias(f"v{r}")
+            for r in range(rows_per_band)
+        ]
+        band_cols.append(F.struct(F.lit(b).alias("band"), F.struct(*parts).alias("sig")))
     exploded = sig_df.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
     ).select(id_col, "bk.band", "bk.sig")
@@ -117,16 +133,27 @@ def connected_components(
 ) -> DataFrame:
     """Label propagation: each node converges to the min id of its component.
     Returns (node, component). Iterative joins — O(diameter) rounds; dedup
-    graphs are near-cliques so 3-5 rounds suffice in practice."""
+    graphs are near-cliques so 3-5 rounds suffice in practice.
+
+    Iteration hygiene for cluster scale: edges are persisted ONCE (reused
+    every round — without this each round re-derives the pair join);
+    each round's labels are localCheckpoint()ed, which both materializes
+    them (one computation, shared by the convergence probe and the next
+    round) and TRUNCATES lineage so round k does not recompute rounds
+    1..k-1; the superseded round is unpersisted eagerly."""
+    from pyspark import StorageLevel
+
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -142,6 +169,7 @@ def connected_components(
                     F.col("component"), F.coalesce(F.col("nbr_comp"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -153,6 +181,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 

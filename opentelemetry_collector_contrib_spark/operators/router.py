@@ -57,20 +57,42 @@ def routes_from_ottl(table: list[tuple[str, str]]) -> list["Route"]:
     return out
 
 
-def route_match_once(df: DataFrame, routes: list[Route], out: str = "route") -> DataFrame:
-    """First-match-wins scalar route tag (`logs.go:87-89` match_once break)."""
+def route_match_once(
+    df: DataFrame,
+    routes: list[Route],
+    out: str = "route",
+    default_route: str | None = DEFAULT_ROUTE,
+) -> DataFrame:
+    """First-match-wins scalar route tag (`logs.go:87-89` match_once break).
+
+    default_route=None mirrors the reference with no `default_pipelines`
+    configured (`connector/routingconnector/logs.go:95-98`): unmatched rows
+    are DROPPED instead of tagged — here a plain filter, so Catalyst pushes
+    it into the scan."""
     expr = None
     for r in routes:
         cond = F.coalesce(r.condition, F.lit(False))
         expr = F.when(cond, r.name) if expr is None else expr.when(cond, r.name)
-    tag = expr.otherwise(F.lit(DEFAULT_ROUTE)) if expr is not None else F.lit(DEFAULT_ROUTE)
-    return df.withColumn(out, tag)
+    if expr is None:
+        tag = F.lit(default_route) if default_route is not None else F.lit(None).cast("string")
+    else:
+        tag = expr.otherwise(F.lit(default_route)) if default_route is not None else expr
+    tagged = df.withColumn(out, tag)
+    if default_route is None:
+        tagged = tagged.filter(F.col(out).isNotNull())
+    return tagged
 
 
-def route_multicast(df: DataFrame, routes: list[Route], out: str = "route") -> DataFrame:
+def route_multicast(
+    df: DataFrame,
+    routes: list[Route],
+    out: str = "route",
+    default_route: str | None = DEFAULT_ROUTE,
+) -> DataFrame:
     """Multicast: array of all matching routes (default if none), exploded —
     a row matching k routes appears k times (`logs.go:84-98` copy-per-match).
-    """
+    default_route=None drops unmatched rows (no default_pipelines,
+    `logs.go:95-98`): explode of an empty array emits nothing."""
     matched = F.filter(
         F.array(
             *[
@@ -80,7 +102,12 @@ def route_multicast(df: DataFrame, routes: list[Route], out: str = "route") -> D
         ),
         lambda x: x.isNotNull(),
     )
-    arr = F.when(F.size(matched) > 0, matched).otherwise(F.array(F.lit(DEFAULT_ROUTE)))
+    if default_route is not None:
+        arr = F.when(F.size(matched) > 0, matched).otherwise(
+            F.array(F.lit(default_route))
+        )
+    else:
+        arr = matched
     return df.withColumn(out, F.explode(arr))
 
 
@@ -91,6 +118,7 @@ def write_routed(
     mode: str = "overwrite",
     fmt: str = "parquet",
     files_per_route: int = 0,
+    salt_cols: list[str] | None = None,
 ) -> None:
     """One write job fans out to per-route directories (Iceberg-table analog;
     `partitionBy` plays `exporter/fileexporter` group_by —
@@ -100,10 +128,18 @@ def write_routed(
     routing a hot route can hold ~half the dataset, and without salting the
     dynamic-partition writer funnels it through few tasks. The salt spreads
     each route over N writer tasks — the explicit skew handling of the
-    write path (north rule)."""
+    write path (north rule).
+
+    The salt hashes STABLE row content (salt_cols, default: every non-route
+    column) — never monotonically_increasing_id(): a nondeterministic
+    repartition key re-deals rows differently when a map task is recomputed
+    (stage retry / speculative execution), duplicating or dropping rows.
+    Deterministic salt ⇒ identical output partitioning across retries and
+    across runs."""
     out = df
     if files_per_route > 0:
-        salt = F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(files_per_route))
+        basis = salt_cols or [c for c in df.columns if c != route_col]
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in basis]), F.lit(files_per_route))
         out = df.repartition(F.col(route_col), salt)
     (
         out.write.format(fmt)

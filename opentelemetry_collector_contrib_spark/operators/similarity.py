@@ -144,6 +144,112 @@ def lsh_topk(
     )
 
 
+def quantized_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[int]]:
+    """round(gauss*1000) integer hyperplanes — the quantized twin of
+    ``_hyperplanes``. A plain list of ints, so the SAME constants can be
+    inlined into a SQL oracle: the bucket assignment becomes bit-exact
+    integer math in any engine."""
+    return [
+        [int(round(x * 1000)) for x in row]
+        for row in _hyperplanes(dim, num_planes, seed)
+    ]
+
+
+def _quantize(vec_col: Column) -> Column:
+    return F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
+
+
+def add_lsh_bucket_quantized(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    seed: int = 42,
+    out: str = "bucket",
+    qe_out: str | None = None,
+) -> DataFrame:
+    """Random-hyperplane signature in pure integer JVM expressions: quantize
+    the vector to round(x*1000) longs, take the sign of the integer dot with
+    each quantized plane. Deterministic across engines/retries (no float
+    summation-order hazards), stays inside whole-stage codegen.
+
+    qe_out keeps the quantized vector as a column (reused by the near-dup
+    re-rank so quantization happens once)."""
+    planes = quantized_hyperplanes(dim, num_planes, seed)
+    qe = _quantize(F.col(vec_col))
+    tmp = "__qe" if qe_out is None else qe_out
+    df = df.withColumn(tmp, qe)
+    bucket = F.lit(0)
+    for p, row in enumerate(planes):
+        plane_arr = F.array(*[F.lit(v).cast("long") for v in row])
+        dot = F.aggregate(
+            F.zip_with(F.col(tmp), plane_arr, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    df = df.withColumn(out, bucket.cast("int"))
+    return df.drop(tmp) if qe_out is None else df
+
+
+def embedding_near_dups_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    num_planes: int = 4,
+    seed: int = 42,
+    threshold_num: int = 2,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs with cosine ≥ threshold_num/threshold_den,
+    integer-exact and LSH-bucket-pruned: the bucket equi-join replaces the
+    N² cross product (this is the checked AND the 100 TB path — one code).
+
+    cos(a,b) ≥ n/d  ⟺  qdot > 0 ∧ d²·qdot² ≥ n²·qn_a·qn_b over the
+    quantized longs — no floats cross an engine or shuffle boundary.
+    Returns (vec_a, vec_b, qdot). Recall follows the hyperplane collision
+    bound (1-θ/π)^planes; raise recall with fewer planes or a union over
+    several seeds."""
+    b = add_lsh_bucket_quantized(
+        df.select(id_col, vec_col), vec_col, dim, num_planes, seed, qe_out="__qe"
+    )
+    qn = F.aggregate(
+        F.zip_with(F.col("__qe"), F.col("__qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    e = b.select(id_col, "bucket", "__qe", qn.alias("__qn"))
+    a, c = e.alias("a"), e.alias("b")
+    qd = F.aggregate(
+        F.zip_with(F.col("a.__qe"), F.col("b.__qe"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n2, d2 = threshold_num * threshold_num, threshold_den * threshold_den
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("vec_a"),
+            F.col(f"b.{id_col}").alias("vec_b"),
+            qd.alias("qdot"),
+            F.col("a.__qn").alias("__qn_a"),
+            F.col("b.__qn").alias("__qn_b"),
+        )
+        .filter(
+            (F.col("qdot") > 0)
+            & (F.col("qdot") * F.col("qdot") * d2 >= F.col("__qn_a") * F.col("__qn_b") * n2)
+        )
+        .select("vec_a", "vec_b", "qdot")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -137,15 +137,19 @@ def _duration_ns(c) -> Column:
 
 
 def _extract_patterns(target: Column, pattern: str) -> Column:
-    """ExtractPatterns → map<group_name, value> (func_extract_patterns.go:35)."""
+    """ExtractPatterns → map<group_name, value> (func_extract_patterns.go:35).
+
+    Uses each named group's TRUE group index (re.groupindex), like the
+    reference's SubexpNames walk: a pattern mixing unnamed and named groups
+    ('(\\d+)-(?P<word>\\w+)') must read group 2 for "word", not group 1.
+    Stripping the (?P<..> syntax preserves group numbering."""
     import re as _re
 
-    names = list(_re.compile(pattern).groupindex.keys())
     jvm_pat = _re.sub(r"\(\?P<[^>]+>", "(", pattern)
     pairs = []
-    for i, n in enumerate(names):
-        v = F.regexp_extract(target, jvm_pat, i + 1)
-        pairs.extend([F.lit(n), v])
+    for name, idx in _re.compile(pattern).groupindex.items():
+        v = F.regexp_extract(target, jvm_pat, idx)
+        pairs.extend([F.lit(name), v])
     return F.map_filter(F.create_map(*pairs), lambda _k, v: v != "")
 
 

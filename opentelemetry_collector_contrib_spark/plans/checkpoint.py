@@ -17,8 +17,15 @@ hundreds of files; the driver loop adds one scheduling round-trip per chunk
 Layout under ``out_dir``:
   data/chunk=<id>/route=<r>/*.parquet   routed rows (per-route sinks)
   aggs/chunk=<id>/*.parquet             per-chunk pre-aggregates
-  checkpoint/*.parquet                  (run_id, chunk_id, rows, tokens, wall_ms, committed_at)
+  checkpoint/*.parquet                  CHECKPOINT_SCHEMA (run_id, chunk_id,
+                                        rows, tokens, wall_ms)
   lineage/*.parquet                     (run_id, stage, rows_in, rows_out, wall_ms)
+
+Readers (``routed()`` / ``aggregates()``) see COMMITTED chunks only: the
+chunk partition column is filtered against the checkpoint table, so a chunk
+whose data write landed but whose checkpoint append never did (crash between
+step 1 and step 2) is invisible until a resume re-overwrites and commits it —
+the exactly-once read view holds at all times, not just after resume.
 """
 
 from __future__ import annotations
@@ -55,7 +62,7 @@ class CheckpointedRunner:
         except Exception:
             return set()
 
-    def _append(self, spark: SparkSession, sub: str, rows: list[dict], schema: str) -> None:
+    def _append(self, spark: SparkSession, sub: str, rows: list[dict], schema) -> None:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
             f"{self.out_dir}/{sub}"
         )
@@ -109,6 +116,8 @@ class CheckpointedRunner:
             wall_ms = int((time.time() - t0) * 1000)
 
             # (2) progress commit: checkpoint row appended AFTER data is down
+            from ..datamodel import CHECKPOINT_SCHEMA
+
             self._append(
                 spark,
                 "checkpoint",
@@ -121,7 +130,7 @@ class CheckpointedRunner:
                         "wall_ms": wall_ms,
                     }
                 ],
-                "run_id string, chunk_id string, rows long, tokens long, wall_ms long",
+                CHECKPOINT_SCHEMA,
             )
             self._append(
                 spark,
@@ -143,15 +152,27 @@ class CheckpointedRunner:
     # ------------------------------------------------------------- results
 
     def routed(self, spark: SparkSession) -> DataFrame:
-        return spark.read.option("basePath", f"{self.out_dir}/data").parquet(
+        """Committed chunks only — the chunk= partition column is filtered
+        against the checkpoint table (partition pruning: uncommitted chunk
+        directories are never even listed into tasks)."""
+        committed = sorted(int(c) for c in self.completed_chunks(spark))
+        df = spark.read.option("basePath", f"{self.out_dir}/data").parquet(
             f"{self.out_dir}/data/chunk=*"
         )
+        return df.filter(F.col("chunk").cast("int").isin(committed))
 
     def aggregates(self, spark: SparkSession) -> DataFrame:
         """Merge per-chunk pre-aggregates (partial-agg pattern: the heavy
-        groupBy ran inside each chunk; this is the cheap final combine)."""
-        per_chunk = spark.read.parquet(f"{self.out_dir}/aggs/chunk=*")
-        dims = [c for c in per_chunk.columns if c not in ("row_count", "token_count")]
+        groupBy ran inside each chunk; this is the cheap final combine).
+        Committed chunks only, like ``routed()``."""
+        committed = sorted(int(c) for c in self.completed_chunks(spark))
+        per_chunk = spark.read.option("basePath", f"{self.out_dir}/aggs").parquet(
+            f"{self.out_dir}/aggs/chunk=*"
+        )
+        per_chunk = per_chunk.filter(F.col("chunk").cast("int").isin(committed))
+        dims = [
+            c for c in per_chunk.columns if c not in ("row_count", "token_count", "chunk")
+        ]
         return per_chunk.groupBy(*dims).agg(
             F.sum("row_count").cast("long").alias("row_count"),
             F.sum("token_count").cast("long").alias("token_count"),
