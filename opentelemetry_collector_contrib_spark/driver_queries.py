@@ -370,6 +370,46 @@ FROM events
 """
 
 
+def _q_ottl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-reflective OTTL converters over the events table: typed
+    ParseJSON (→ map<string,string>), Len over a map, and the Is* predicates
+    resolved statically from the bound schema (func_parse_json.go,
+    func_len.go, func_is_*.go)."""
+    from .ottl.compiler import apply_statements
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = apply_statements(
+        ev,
+        [
+            "set(parsed, ParseJSON(props))",
+            'set(kv, parsed["k"])',
+            "set(n_props, Len(parsed))",
+            "set(props_len, Len(props))",
+            "set(props_is_string, IsString(props))",
+            "set(value_is_double, IsDouble(value))",
+            "set(value_is_int, IsInt(value))",
+            "set(parsed_is_map, IsMap(parsed))",
+        ],
+    )
+    return out.select(
+        "event_id", "kv", "n_props", "props_len",
+        "props_is_string", "value_is_double", "value_is_int", "parsed_is_map",
+    )
+
+
+_SQL_OTTL_TYPES = """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS kv,
+       CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+       CAST(length(props) AS BIGINT) AS props_len,
+       props IS NOT NULL AS props_is_string,
+       value IS NOT NULL AS value_is_double,
+       FALSE AS value_is_int,
+       props IS NOT NULL AS parsed_is_map
+FROM events
+"""
+
+
 def _q_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.redaction import mask_values
 
@@ -593,6 +633,75 @@ SELECT source, CAST(seg_id AS VARCHAR) AS segment_id,
        COUNT(*) AS n_lines,
        string_agg(line, ' ' ORDER BY doc_id) AS combined
 FROM seg GROUP BY source, seg_id
+"""
+
+
+def _q_recombine_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_last_entry mode THROUGH the skew-safe two-level prefix-sum path
+    (skew_chunk): the checked query is the segmentation that survives a
+    45 %-hot source key — per-chunk boundary counts roll up in a tiny
+    window, bounded chunks segment independently. Output is provably equal
+    to the single-window form (asserted in tests/test_processors.py)."""
+    from .operators.recombine import recombine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    marked = docs.withColumn(
+        "line",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 4, F.lit(" END")).otherwise(F.lit("")),
+        ),
+    )
+    out = recombine(
+        marked, "source", "doc_id", "line",
+        is_last_regex=r"END$", combine_with=" ", skew_chunk=64,
+    )
+    return out.select("source", "segment_id", "n_lines", "combined")
+
+
+_SQL_RECOMBINE_LAST = """
+WITH marked AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN text || ' END' ELSE text END AS line
+  FROM documents
+), seg AS (
+  SELECT source, doc_id, line,
+         COALESCE(SUM(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg_id
+  FROM marked
+)
+SELECT source, CAST(seg_id AS VARCHAR) AS segment_id,
+       COUNT(*) AS n_lines,
+       string_agg(line, ' ' ORDER BY doc_id) AS combined
+FROM seg GROUP BY source, seg_id
+"""
+
+
+def _q_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 2 via pigeonhole banding (k+1
+    bit-slices → bucket equi-join → popcount verify) — the scale path is
+    the checked path; the oracle verifies against a naive all-pairs compare
+    (oracles may be naive; the engine may not)."""
+    from .operators.dedup import simhash, simhash_near_pairs
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    sh = simhash(toks, "tokens", bits=16).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "simhash"
+    )
+    return simhash_near_pairs(sh, "doc_id", "simhash", bits=16, k=2)
+
+
+_SQL_SIMHASH_NEAR = _SQL_BASE + f"""
+, sh AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST({_simhash_sql()} AS BIGINT) AS simhash
+  FROM base
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
 """
 
 
@@ -1113,6 +1222,9 @@ REGISTRY: list[Query] = [
     Query("shingle_stats", _q_shingle_stats, _SQL_SHINGLES),
     Query("simhash", _q_simhash, _SQL_SIMHASH),
     Query("recombine", _q_recombine, _SQL_RECOMBINE),
+    Query("recombine_last", _q_recombine_last, _SQL_RECOMBINE_LAST),
+    Query("simhash_near", _q_simhash_near, _SQL_SIMHASH_NEAR),
+    Query("ottl_types", _q_ottl_types, _SQL_OTTL_TYPES),
     Query("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     Query("text_stats", _q_text_stats, _SQL_TEXT_STATS),
     Query("langid", _q_langid, _langid_sql()),

@@ -56,6 +56,21 @@ DEFAULT_ALIASES: list[tuple[str, str, int]] = [
     ("5xx", "error", 17),
 ]
 
+# severity_builder.go:192-210 expands each "Nxx" bucket into the literal
+# status codes N00..N99 in the alias map — a pipeline parsing real HTTP
+# statuses ("204", "503") must resolve them, not fall to default(0).
+_HTTP_BUCKETS: list[tuple[int, str, int]] = [
+    (2, "info", 9),
+    (3, "info2", 10),
+    (4, "warn", 13),
+    (5, "error", 17),
+]
+DEFAULT_ALIASES += [
+    (str(code), canon, num)
+    for hundred, canon, num in _HTTP_BUCKETS
+    for code in range(hundred * 100, hundred * 100 + 100)
+]
+
 
 def severity_map_df(
     spark: SparkSession, custom: list[tuple[str, str, int]] | None = None
@@ -96,10 +111,17 @@ def attach_severity(
 
 
 def severity_number_col(text: Column) -> Column:
-    """Inline when-chain variant (no join) for use inside expressions."""
-    c = F.lit(None).cast("int")
-    expr = None
+    """Inline when-chain variant (no join) for use inside expressions.
+    HTTP status codes resolve via a range test (one expression, not 400
+    whens); text aliases via the chain."""
+    http = None
+    for hundred, _canon, num in _HTTP_BUCKETS:
+        cond = text.rlike(f"^{hundred}[0-9][0-9]$")
+        http = F.when(cond, num) if http is None else http.when(cond, num)
+    expr = http
     for alias, _canon, num in DEFAULT_ALIASES:
+        if alias.isdigit():
+            continue  # covered by the range test
         cond = F.lower(text) == alias
         expr = F.when(cond, num) if expr is None else expr.when(cond, num)
-    return expr.otherwise(F.lit(0)) if expr is not None else c
+    return expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)

@@ -224,7 +224,7 @@ def simhash(df: DataFrame, tokens_col: str, bits: int = 16, out: str = "simhash"
 
 def simhash_dup_pairs(df: DataFrame, id_col: str, sim_col: str = "simhash") -> DataFrame:
     """Exact-fingerprint collision pairs (hamming-0 bucket join); for
-    hamming≤k, band the fingerprint into k+1 slices and union the joins."""
+    hamming≤k see ``simhash_near_pairs``."""
     a, b = df.alias("a"), df.alias("b")
     return (
         a.join(
@@ -233,6 +233,53 @@ def simhash_dup_pairs(df: DataFrame, id_col: str, sim_col: str = "simhash") -> D
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    sim_col: str = "simhash",
+    bits: int = 16,
+    k: int = 1,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ k, found at scale via the
+    pigeonhole banding: split the fingerprint into k+1 bit-slices — two
+    fingerprints within hamming k must agree EXACTLY on at least one slice,
+    so candidates come from k+1 bucket equi-joins (one exploded join keyed
+    on (slice_idx, slice_value) — same shuffle shape as MinHash LSH), then
+    an exact popcount(xor) ≤ k verify inside the bucket. No all-pairs
+    compare anywhere. Returns (doc_a, doc_b, hamming)."""
+    slices = k + 1
+    base_w, rem = divmod(bits, slices)
+    slice_cols, off = [], 0
+    for s in range(slices):
+        w = base_w + (1 if s < rem else 0)
+        val = F.floor(F.col(sim_col) / F.lit(1 << off)).cast("long") % F.lit(1 << w)
+        slice_cols.append(F.struct(F.lit(s).alias("slice"), val.alias("v")))
+        off += w
+    exploded = df.select(
+        F.col(id_col), F.col(sim_col).alias("__sim"),
+        F.explode(F.array(*slice_cols)).alias("sk"),
+    ).select(id_col, "__sim", "sk.slice", "sk.v")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    ham = F.bit_count(
+        F.col("a.__sim").cast("long").bitwiseXOR(F.col("b.__sim").cast("long"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.slice") == F.col("b.slice"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
 
 

@@ -24,7 +24,7 @@ def filter_logs_ottl(
         return df
     cond = None
     for c in conditions:
-        cc = F.coalesce(compile_condition(c, ctx), F.lit(False))
+        cc = F.coalesce(compile_condition(c, ctx, schema=df.schema), F.lit(False))
         cond = cc if cond is None else (cond | cc)
     return df.filter(~cond)
 

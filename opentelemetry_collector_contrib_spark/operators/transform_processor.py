@@ -37,7 +37,7 @@ class TransformProcessor:
             self.compiled.append((conds, stmts))
 
     def process(self, df: DataFrame) -> DataFrame:
-        c = Compiler(self.ctx)
+        c = Compiler(self.ctx, schema=df.schema)
         for conds, stmts in self.compiled:
             gate = None
             for cond_ast in conds:

@@ -21,6 +21,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .parser import (
     And, BinOp, Call, Comparison, ListExpr, Literal, Not, Or, Path,
@@ -183,12 +184,16 @@ def _build_converters() -> None:
     C["SHA256"] = lambda x: F.sha2(_as_col(x), 256)
     C["Hour"] = lambda t: F.hour(_as_col(t))
     C["IsMatch"] = lambda x, p: _as_col(x).rlike(_lit_str(p))
-    C["IsString"] = lambda x: F.lit(True) if isinstance(x, Column) else F.lit(isinstance(x, str))
-    C["Len"] = lambda x: F.coalesce(F.length(_as_col(x)), F.lit(None))
+    # IsBool/IsInt/IsDouble/IsString/IsMap/IsList and Len are compiled by
+    # Compiler.value() against the bound schema (static type dispatch) —
+    # see Compiler._type_predicate / Compiler._len.
     C["Log"] = lambda x: F.log(_as_col(x).cast("double"))
     C["Now"] = lambda: F.current_timestamp()
     C["ParseCSV"] = _parse_csv
-    C["ParseJSON"] = lambda x: x  # kept as JSON string; pair with json_parser for typed
+    # func_parse_json.go → a map value; scalar JSON values coerce to their
+    # string rendering (our attribute maps are map<string,string>); malformed
+    # JSON → null (ErrorMode ignore)
+    C["ParseJSON"] = lambda x: F.from_json(_as_col(x), "map<string,string>")
     C["ParseKeyValue"] = lambda x, pd=" ", kd="=": F.str_to_map(
         _as_col(x), F.lit(_lit_str(pd)), F.lit(_lit_str(kd))
     )
@@ -204,11 +209,10 @@ def _build_converters() -> None:
     C["TraceID"] = lambda x: F.lower(F.hex(_as_col(x)))
     C["SpanID"] = lambda x: F.lower(F.hex(_as_col(x)))
     C["ConvertCase"] = _convert_case
-    C["IsBool"] = lambda x: F.lit(True)
-    C["IsInt"] = lambda x: F.lit(True)
-    C["IsDouble"] = lambda x: F.lit(True)
-    C["IsMap"] = lambda x: F.lit(True)
-    C["IsList"] = lambda x: F.lit(True)
+    # Unix(seconds[, nanos]) → epoch-nanoseconds "time" value, the generic
+    # constructor of func_unix.go (pairs with the Seconds/UnixSeconds family
+    # which all treat long time values as nanos)
+    C["Unix"] = lambda s, ns=0: (_as_col(s).cast("long") * F.lit(1_000_000_000)) + _as_col(ns).cast("long")
 
 
 def _parse_csv(x, header, delim: str = ",") -> Column:
@@ -284,9 +288,102 @@ def _as_col(v) -> Column:
     return F.lit(v)
 
 
+# converters whose result depends on the VALUE TYPE of the argument — in the
+# reference these reflect on pcommon.Value at runtime (func_is_*.go,
+# func_len.go); under a fixed Spark schema the type is static per column, so
+# they compile to constants / typed dispatch against the bound schema.
+_TYPE_PREDICATES = {
+    "IsBool": (T.BooleanType,),
+    "IsInt": (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+    "IsDouble": (T.FloatType, T.DoubleType),
+    "IsString": (T.StringType,),
+    "IsMap": (T.MapType,),
+    "IsList": (T.ArrayType,),
+}
+
+
+def _walk_type(dtype, segs):
+    """Descend a DataType along resolved path segments; None = unknown."""
+    for s in segs:
+        if isinstance(s, tuple) and s[0] == "key":
+            if isinstance(dtype, T.MapType):
+                dtype = dtype.valueType
+            elif isinstance(dtype, T.StructType) and s[1] in dtype.fieldNames():
+                dtype = dtype[s[1]].dataType
+            else:
+                return None
+        elif isinstance(dtype, T.StructType) and s in dtype.fieldNames():
+            dtype = dtype[s].dataType
+        else:
+            return None
+    return dtype
+
+
 class Compiler:
-    def __init__(self, ctx: LogContext | None = None):
+    def __init__(self, ctx: LogContext | None = None, schema: T.StructType | None = None):
         self.ctx = ctx or LogContext()
+        # bound by statement()/apply_statements (or passed explicitly) —
+        # needed only by the type-reflective converters above
+        self.schema = schema
+
+    # ------------------------------------------------------ static typing
+
+    def _path_type(self, path: Path):
+        if self.schema is None:
+            return None
+        segs = list(path.segments)
+        head = segs.pop(0)
+        if head == "resource" and segs and segs[0] == "attributes":
+            segs.pop(0)
+        name = self.ctx.fields.get(head, head)
+        if name not in self.schema.fieldNames():
+            return None
+        return _walk_type(self.schema[name].dataType, segs)
+
+    def _static_type(self, node):
+        if isinstance(node, Literal):
+            v = node.value
+            if isinstance(v, bool):
+                return T.BooleanType()
+            if isinstance(v, int):
+                return T.LongType()
+            if isinstance(v, float):
+                return T.DoubleType()
+            if isinstance(v, str):
+                return T.StringType()
+            return None
+        if isinstance(node, ListExpr):
+            return T.ArrayType(T.StringType())
+        if isinstance(node, Path):
+            return self._path_type(node)
+        return None
+
+    def _type_predicate(self, name: str, arg) -> Column:
+        t = self._static_type(arg)
+        if t is None:
+            raise ValueError(
+                f"{name}: cannot statically resolve the argument type — bind a "
+                f"schema (compile via statement()/apply_statements) and pass a "
+                f"path or literal"
+            )
+        if not isinstance(t, _TYPE_PREDICATES[name]):
+            return F.lit(False)
+        if isinstance(arg, Path):
+            # type matches statically; nil value (absent map key / null
+            # column) is ValueTypeEmpty in the reference → false
+            return _as_col(self.value(arg)).isNotNull()
+        return F.lit(True)
+
+    def _len(self, arg) -> Column:
+        """func_len.go: string → rune count, slice/map → element count;
+        other types error (→ null under ErrorMode ignore)."""
+        t = self._static_type(arg)
+        col = _as_col(self.value(arg))
+        if isinstance(t, (T.ArrayType, T.MapType)):
+            return F.size(col).cast("long")
+        if t is None or isinstance(t, (T.StringType, T.BinaryType)):
+            return F.length(col).cast("long")
+        return F.lit(None).cast("long")
 
     # values → Column | python literal (literals stay raw so converters can
     # see compile-time constants like regex patterns)
@@ -298,6 +395,10 @@ class Compiler:
         if isinstance(node, Path):
             return self.ctx.resolve(node)
         if isinstance(node, Call):
+            if node.name in _TYPE_PREDICATES:
+                return self._type_predicate(node.name, node.args[0])
+            if node.name == "Len":
+                return self._len(node.args[0])
             fn = CONVERTERS.get(node.name)
             if fn is None:
                 raise ValueError(f"unknown OTTL converter {node.name!r}")
@@ -351,6 +452,7 @@ class Compiler:
     ) -> DataFrame:
         """extra_cond (e.g. a transform-processor group gate) is ANDed with
         the statement's own where-clause."""
+        self.schema = df.schema  # bind for type-reflective converters
         cond = self.condition(stmt.condition) if stmt.condition is not None else None
         if extra_cond is not None:
             cond = extra_cond if cond is None else (cond & extra_cond)
@@ -500,8 +602,14 @@ def compile_statement(df: DataFrame, text: str, ctx: LogContext | None = None) -
     return Compiler(ctx).statement(df, parse_statement(text))
 
 
-def compile_condition(text: str, ctx: LogContext | None = None) -> Column:
-    return Compiler(ctx).condition(parse_condition(text))
+def compile_condition(
+    text: str,
+    ctx: LogContext | None = None,
+    schema: "T.StructType | None" = None,
+) -> Column:
+    """schema is only needed when the condition uses a type-reflective
+    converter (IsMap/IsInt/Len/...) — pass df.schema then."""
+    return Compiler(ctx, schema=schema).condition(parse_condition(text))
 
 
 def _nullable_cmp(l, r) -> bool:

@@ -73,7 +73,10 @@ def pipeline_oracle(n_rows: int, match_once: bool = True, with_sampling: bool = 
         if with_sampling:
             idx = int(row.doc_id[4:])
             pct = rec["sample_pct"] if rec["sample_pct"] is not None else 100.0
-            bucket = ((idx + 0) * _KNUTH) % SAMPLER_BUCKETS
+            # split-multiply modular mix, high 14 bits (functions/hashing.py)
+            h = (idx + 0) % (1 << 32)
+            mixed = (h % 65536 * _KNUTH + (h // 65536 * _KNUTH % 65536) * 65536) % (1 << 32)
+            bucket = mixed // (1 << 18)
             if not (bucket < pct * SAMPLER_BUCKETS / 100.0):
                 continue
         # routing (FIXTURES §3)

@@ -91,3 +91,24 @@ def test_bad_config_fails_fast(spark):
         ConfigPipeline(PipelineConfig(route_table=[("x", 'set(body, "y")')]))
     with pytest.raises((SyntaxError, ValueError)):
         ConfigPipeline(PipelineConfig(filter_conditions=["body ==="]))
+
+
+def test_unmatched_drop_mode(spark, logs):
+    """default_route=None = reference with no default_pipelines
+    (routingconnector/logs.go:95-98): unmatched rows are dropped, matched
+    rows keep their route; same for multicast (empty match array explodes
+    to nothing)."""
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_contrib_spark.operators.router import (
+        Route, route_match_once, route_multicast,
+    )
+
+    routes = [Route("errors", F.col("severity_number") >= 17)]
+    once = route_match_once(logs, routes, default_route=None)
+    assert once.filter(F.col("severity_number") < 17).count() == 0
+    n_err = logs.filter(F.col("severity_number") >= 17).count()
+    assert once.count() == n_err > 0
+    assert {r.route for r in once.select("route").distinct().collect()} == {"errors"}
+
+    multi = route_multicast(logs, routes, default_route=None)
+    assert multi.count() == n_err

@@ -62,6 +62,26 @@ class TestDedup:
         assert 0.4 <= got[(0, 2)] < 1.0  # shares 5 of 6+6-5 shingles... ≥ threshold
         assert (0, 3) not in got
 
+    def test_simhash_near_pairs_matches_brute_force(self, spark):
+        """Pigeonhole banding finds EXACTLY the hamming≤k pairs a naive
+        all-pairs compare finds (pigeonhole: ≤k flipped bits can't touch
+        all k+1 slices), at any slice alignment."""
+        import itertools, random
+
+        rng = random.Random(7)
+        fps = [rng.getrandbits(16) for _ in range(40)] + [0b1010101010101010]
+        fps.append(0b1010101010101011)  # hamming 1 from the previous
+        rows = [Row(doc_id=i, simhash=v) for i, v in enumerate(fps)]
+        df = spark.createDataFrame(rows, "doc_id long, simhash long")
+        for k in (1, 2, 3):
+            got = {(r.doc_a, r.doc_b, r.hamming)
+                   for r in dd.simhash_near_pairs(df, "doc_id", bits=16, k=k).collect()}
+            want = {(i, j, bin(a ^ b).count("1"))
+                    for (i, a), (j, b) in itertools.combinations(enumerate(fps), 2)
+                    if bin(a ^ b).count("1") <= k}
+            assert got == want, k
+        assert (40, 41, 1) in got
+
     def test_shingles_short_doc(self, spark):
         df = spark.createDataFrame([Row(doc_id=0, tokens=[1, 2])], "doc_id long, tokens array<int>")
         out = dd.ngram_shingles(df, "tokens", 3).collect()[0]
@@ -100,6 +120,34 @@ class TestSimilarity:
     def test_embedding_near_dups(self, emb):
         pairs = sim.embedding_near_dups(emb, dim=8, threshold=0.999, num_planes=4)
         assert (0, 40) in {(r.doc_a, r.doc_b) for r in pairs.collect()}
+
+
+class TestQuantizedNearDup:
+    def test_bucket_join_subset_of_all_pairs(self, emb):
+        """The quantized bucketed near-dup returns pairs whose quantized
+        cosine clears the threshold AND that share a hyperplane bucket —
+        verified against an explicit recompute, and the qdot values are
+        integer-exact."""
+        from opentelemetry_collector_contrib_spark.operators import similarity as sim
+
+        out = sim.embedding_near_dups_quantized(
+            emb, "vec_id", "embedding", dim=8, num_planes=2, seed=1,
+            threshold_num=9, threshold_den=10,
+        ).collect()
+
+        rows = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+        planes = sim.quantized_hyperplanes(8, 2, seed=1)
+        def bucket(v):
+            q = np.round(v * 1000).astype(np.int64)
+            return sum((1 << p) for p, pl in enumerate(planes) if int(q @ np.array(pl)) >= 0)
+        for r in out:
+            qa = np.round(rows[r.vec_a] * 1000).astype(np.int64)
+            qb = np.round(rows[r.vec_b] * 1000).astype(np.int64)
+            assert bucket(rows[r.vec_a]) == bucket(rows[r.vec_b])
+            assert int(qa @ qb) == r.qdot
+            assert 100 * r.qdot * r.qdot >= 81 * int(qa @ qa) * int(qb @ qb)
+        # the planted near-identical pair must be found (same bucket by construction)
+        assert any({r.vec_a, r.vec_b} == {0, 40} for r in out)
 
 
 class TestTextStats:

@@ -127,6 +127,23 @@ CASES = [
     ('set(body, "gone") where attributes["nope"] != nil', "body", "operationA"),
     ('replace_pattern(body, "operation(.)", "op-$1")', "body", "op-A"),
     ('set(attributes["neg"], 0 - n_tok)', None, ("attributes.neg", "-42")),
+    # --- type-reflective converters (func_is_*.go, func_len.go, func_unix.go)
+    ('set(attributes["t"], "pass") where IsString(body)', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsString(severity_number)', None, ("attributes.t", None)),
+    ('set(attributes["t"], "pass") where IsInt(severity_number)', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsDouble(severity_number)', None, ("attributes.t", None)),
+    ('set(attributes["t"], "pass") where IsMap(attributes)', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsList(attributes)', None, ("attributes.t", None)),
+    ('set(attributes["t"], "pass") where IsBool(severity_number)', None, ("attributes.t", None)),
+    ('set(attributes["t"], "pass") where not IsMap(body)', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsString(attributes["http.method"])', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsString(attributes["doesnt_exist"])', None, ("attributes.t", None)),  # nil → false
+    ('set(attributes["t"], "pass") where IsString("literal")', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsInt(3)', None, ("attributes.t", "pass")),
+    ('set(attributes["t"], "pass") where IsDouble(3.5)', None, ("attributes.t", "pass")),
+    ('set(attributes["lm"], Len(attributes))', None, ("attributes.lm", "4")),  # map → entry count
+    ('set(attributes["ls"], Len(body))', None, ("attributes.ls", "10")),
+    ('set(attributes["ux"], Seconds(Unix(5)))', None, ("attributes.ux", "5.0")),
 ]
 
 
@@ -192,3 +209,53 @@ def test_parse_csv_converter(df):
 def test_time_comparison(df):
     out = run(df, 'set(attributes["t"], "old") where time < Now()')
     assert out["attributes"]["t"] == "old"
+
+
+def test_parse_json_typed(df):
+    """ParseJSON → a real map value (func_parse_json.go), scalars coerced to
+    their string rendering; malformed JSON → null (ErrorMode ignore)."""
+    j = df.withColumn("body", F.lit('{"a": 1, "b": "x", "c": true}'))
+    out = compile_statement(j, "set(attributes, ParseJSON(body))").collect()[0]
+    assert out.attributes == {"a": "1", "b": "x", "c": "true"}
+    bad = df.withColumn("body", F.lit("{not json"))
+    out2 = compile_statement(bad, "set(attributes, ParseJSON(body))").collect()[0]
+    assert out2.attributes is None
+    # Len over the parsed map
+    chained = apply_statements(
+        j, ["set(attributes, ParseJSON(body))", 'set(attributes["n"], Len(attributes))']
+    ).collect()[0]
+    assert chained.attributes["n"] == "3"
+
+
+def test_type_predicate_requires_schema_or_literal(df):
+    """A type predicate over an unresolvable expression raises at compile
+    time instead of silently returning true (r01 stub regression guard)."""
+    with pytest.raises(ValueError, match="statically resolve"):
+        compile_statement(df, 'set(attributes["t"], "x") where IsInt(Concat([body], "-"))')
+
+
+def test_severity_http_range_expansion(spark):
+    """severity_builder.go:192-210 — literal status codes resolve through
+    the expanded Nxx buckets ("204"→info(9), "503"→error(17))."""
+    from opentelemetry_collector_contrib_spark.functions.severity import (
+        attach_severity,
+        severity_number_col,
+    )
+
+    df = spark.createDataFrame(
+        [("204",), ("301",), ("404",), ("503",), ("2xx",), ("warn",), ("999",)],
+        "level string",
+    )
+    out = {r.level: (r.severity_text, r.severity_number)
+           for r in attach_severity(df, "level").collect()}
+    assert out["204"] == ("info", 9)
+    assert out["301"] == ("info2", 10)
+    assert out["404"] == ("warn", 13)
+    assert out["503"] == ("error", 17)
+    assert out["2xx"] == ("info", 9)
+    assert out["warn"] == ("warn", 13)
+    assert out["999"] == ("default", 0)
+
+    nums = {r.level: r.n for r in df.select(
+        "level", severity_number_col(F.col("level")).alias("n")).collect()}
+    assert nums == {"204": 9, "301": 10, "404": 13, "503": 17, "2xx": 9, "warn": 13, "999": 0}

@@ -184,3 +184,56 @@ class TestRecombine:
         out = recombine(lines, "source", "offset", "line", r"^START", max_batch_size=2)
         assert out.agg(F.max("n_lines")).collect()[0][0] <= 2
         assert out.agg(F.sum("n_lines")).collect()[0][0] == 20
+    def test_is_last_entry_mode(self, lines, spark):
+        """A matching row CLOSES its segment (transformer.go is_last_entry):
+        rows after an END belong to the next segment."""
+        rows = [Row(source="a", offset=i, line=("END %d" % i) if i in (2, 5) else ("m %d" % i))
+                for i in range(8)]
+        df = spark.createDataFrame(rows, "source string, offset long, line string")
+        out = {r.segment_id: (r.n_lines, r.combined)
+               for r in recombine(df, "source", "offset", "line",
+                                  is_last_regex=r"^END").collect()}
+        assert out["0"] == (3, "m 0\nm 1\nEND 2")
+        assert out["1"] == (3, "m 3\nm 4\nEND 5")
+        assert out["2"] == (2, "m 6\nm 7")
+
+    def test_max_log_size(self, lines):
+        """Byte-cap flush: each sub-batch ≤ cap + the tipping entry."""
+        out = recombine(lines, "source", "offset", "line", r"^START",
+                        max_log_size=20)
+        rows = out.collect()
+        assert sum(r.n_lines for r in rows) == 20
+        # every batch except possibly the tipping entry respects the cap
+        assert all(len(r.combined) <= 20 + len("START msg 0") + 1 for r in rows)
+        # and at least one oversized segment actually split
+        plain = recombine(lines, "source", "offset", "line", r"^START")
+        assert out.count() > plain.count()
+
+    def test_skew_chunk_matches_plain_window(self, spark):
+        """Two-level prefix-sum segmentation (the hot-source skew path) is
+        value-identical to the single-window form on the 45%-hot tokens
+        table."""
+        from opentelemetry_collector_contrib_spark.sources.tokengen import tokens_df
+        from opentelemetry_collector_contrib_spark.sources.render import render_lines
+
+        t = render_lines(tokens_df(spark, 3000, num_partitions=4), out="line")
+        t = t.withColumn("o", F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("source").orderBy("doc_id")))
+        for kwargs in (dict(is_first_regex="ERROR"),
+                       dict(is_last_regex="ERROR"),
+                       dict(is_first_regex="ERROR", max_batch_size=3),
+                       dict(is_first_regex="ERROR", max_log_size=200)):
+            plain = recombine(t, "source", "o", "line", **kwargs)
+            skew = recombine(t, "source", "o", "line", skew_chunk=100, **kwargs)
+            sa = sorted((r.source, r.segment_id, r.n_lines, r.combined)
+                        for r in plain.collect())
+            sb = sorted((r.source, r.segment_id, r.n_lines, r.combined)
+                        for r in skew.collect())
+            assert sa == sb, kwargs
+
+    def test_boundary_mode_validation(self, lines):
+        with pytest.raises(ValueError):
+            recombine(lines, "source", "offset", "line")
+        with pytest.raises(ValueError):
+            recombine(lines, "source", "offset", "line", r"^A", is_last_regex=r"^B")
+
