@@ -48,7 +48,11 @@ def ensure_tokens_parquet(spark, n_rows: int) -> str:
 
 def run_pipeline_job(spark, path: str, n_rows: int) -> float:
     """Timed end-to-end run (scan → render → Arrow-UDF grok parse → severity
-    → broadcast enrich → route → aggregate); returns best-of-2 seconds."""
+    → broadcast enrich → route → aggregate); returns MEDIAN of 3 timed runs
+    (median, not best — the scaling-efficiency gate must not be won by a
+    lucky outlier; VERDICT r01 bench-hygiene item)."""
+    import statistics
+
     from opentelemetry_collector_contrib_spark.plans.pipeline import full_pipeline
     from opentelemetry_collector_contrib_spark.sources.tokengen import tokens_df
 
@@ -57,14 +61,14 @@ def run_pipeline_job(spark, path: str, n_rows: int) -> float:
     full_pipeline(warm, spark, match_once=True)[1].count()
 
     tokens = spark.read.parquet(path)
-    best = float("inf")
-    for _ in range(2):
+    times = []
+    for _ in range(3):
         t0 = time.time()
         _, aggs = full_pipeline(tokens, spark, match_once=True)
         n = aggs.count()
-        best = min(best, time.time() - t0)
+        times.append(time.time() - t0)
         assert n > 0
-    return best
+    return statistics.median(times)
 
 
 def _pipeline_only(cores: int) -> None:
@@ -145,6 +149,44 @@ def main() -> None:
     sig = minhash_signature(tokens.select("doc_id", "tokens"), "tokens", num_perms=8)
     lsh_candidate_pairs(sig, "doc_id", 8, 4).write.format("noop").mode("overwrite").save()
     results["minhash_lsh_20m"] = round(time.time() - t0, 3)
+
+    # full near-dup dedup (signature → banded pairs → connected components →
+    # anti-join the dup ids) — times the persisted/localCheckpointed CC loop
+    from opentelemetry_collector_contrib_spark.operators.dedup import minhash_dedup
+
+    t0 = time.time()
+    minhash_dedup(
+        tokens.select("doc_id", "tokens"), "tokens", "doc_id",
+        num_perms=8, rows_per_band=4,
+    ).select("doc_id").write.format("noop").mode("overwrite").save()
+    results["minhash_dedup_20m"] = round(time.time() - t0, 3)
+
+    # embedding near-dup at 1M×64: synthetic unit-scale vectors generated
+    # JVM-side from the row id, quantized hyperplane buckets (16 planes →
+    # 64k buckets) → bucket equi-join → integer re-rank. Times the checked
+    # scale path on a corpus 2000× the sf0.1 embeddings table.
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        embedding_near_dups_quantized,
+    )
+    from pyspark.sql import functions as F
+
+    vecs = (
+        spark.range(1_000_000)
+        .repartition(CPUS * 2)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda j: ((F.pmod(F.xxhash64(F.col("id"), j), F.lit(2001)) - 1000) / 1000.0).cast("float"),
+            ).alias("embedding"),
+        )
+    )
+    t0 = time.time()
+    embedding_near_dups_quantized(
+        vecs, "vec_id", "embedding", dim=64, num_planes=16, seed=42,
+        threshold_num=2, threshold_den=5,
+    ).write.format("noop").mode("overwrite").save()
+    results["embedding_neardup_1m"] = round(time.time() - t0, 3)
     spark.stop()
 
     # pinned scaling matrix

@@ -302,17 +302,32 @@ def ngram_shingles(df: DataFrame, tokens_col: str, n: int = 3, out: str = "shing
 
 
 def jaccard_pairs(
-    df: DataFrame, id_col: str, tokens_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard similarity via inverted-index join:
     explode shingles → pair counts |∩| → |a∪b| = |a|+|b|−|∩| → filter.
-    Shuffle keys are shingle ids (small longs); the quadratic blow-up is
-    bounded per-shingle (hot shingles ≈ stop-shingles can be frequency-capped
-    upstream)."""
+    Shuffle keys are shingle ids (small longs).
+
+    max_shingle_freq caps the quadratic blow-up on hot (stop-word-like)
+    shingles: a shingle appearing in more than F docs is dropped from the
+    INVERTED INDEX before the pair join, so the worst per-key fan-out is
+    F², independent of corpus size — the standard stop-shingle prune of
+    inverted-index dedup. Capped pairs UNDERCOUNT |∩| by the dropped hot
+    shingles (a pair sharing only hot shingles is never generated), so the
+    reported jaccard is a lower bound; set sizes stay exact. None = exact."""
     sh = ngram_shingles(df, tokens_col, n).select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("set_size")
     )
     inv = sh.select(id_col, "set_size", F.explode("shingles").alias("sg"))
+    if max_shingle_freq is not None:
+        freq = inv.groupBy("sg").agg(F.count(F.lit(1)).alias("__df"))
+        hot = freq.filter(F.col("__df") > max_shingle_freq).select("sg")
+        inv = inv.join(hot, on="sg", how="left_anti")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(b, (F.col("a.sg") == F.col("b.sg")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

@@ -192,6 +192,38 @@ def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFram
     )
 
 
+# Go reference-time components → Spark datetime pattern, longest-first so
+# "2006" wins over "06" and "01" over "1" (`operator/helper/time.go` gotime
+# layout_type; Go layouts are the collector's native flavor).
+_GOTIME_TABLE = [
+    ("2006", "yyyy"), ("January", "MMMM"), ("Jan", "MMM"), ("Monday", "EEEE"),
+    ("Mon", "EEE"), ("15", "HH"), ("01", "MM"), ("02", "dd"), ("03", "hh"),
+    ("04", "mm"), ("05", "ss"), ("06", "yy"), (".000000000", ".SSSSSSSSS"),
+    (".000000", ".SSSSSS"), (".000", ".SSS"), ("PM", "a"), ("pm", "a"),
+    ("Z07:00", "XXX"), ("Z0700", "XX"), ("-07:00", "xxx"), ("-0700", "xx"),
+    ("MST", "zz"), ("1", "M"), ("2", "d"), ("3", "h"), ("4", "m"), ("5", "s"),
+]
+
+
+def gotime_to_spark(layout: str) -> str:
+    """'2006-01-02 15:04:05' → 'yyyy-MM-dd HH:mm:ss' (greedy left-to-right,
+    longest component first). Unrecognized LETTERS are single-quoted — Spark
+    treats bare letters as pattern chars, so the 'T' in an ISO layout must
+    become 'T'; punctuation/digits pass through bare."""
+    out, i = [], 0
+    while i < len(layout):
+        for go, spark in _GOTIME_TABLE:
+            if layout.startswith(go, i):
+                out.append(spark)
+                i += len(go)
+                break
+        else:
+            ch = layout[i]
+            out.append(f"'{ch}'" if ch.isalpha() else ch)
+            i += 1
+    return "".join(out)
+
+
 def time_parser(
     df: DataFrame,
     parse_from: str,
@@ -202,7 +234,9 @@ def time_parser(
 ) -> DataFrame:
     """time_parser (`operator/helper/time.go:19-26,131-200`).
 
-    layout_type: 'strptime'/'gotime' → to_timestamp with a Spark pattern;
+    layout_type: 'strptime' → %-directives (or a native Spark pattern)
+    converted via the ctime table; 'gotime' → Go reference-time layout
+    ("2006-01-02 15:04:05") converted via gotime_to_spark;
     'epoch' → layout one of s/ms/us/ns over numeric input.
 
     on_error='send' (default) tolerates unparseable strings → null ts
@@ -226,6 +260,12 @@ def time_parser(
     fn = F.to_timestamp if on_error == "propagate" else F.try_to_timestamp
     if layout is None:
         return df.withColumn(parse_to, fn(col))
+    if layout_type == "gotime":
+        layout = gotime_to_spark(layout)
+    elif layout_type == "strptime" and "%" in layout:
+        from ..ottl.compiler import _strptime_to_spark
+
+        layout = _strptime_to_spark(layout)
     return df.withColumn(parse_to, fn(col, F.lit(layout)))
 
 

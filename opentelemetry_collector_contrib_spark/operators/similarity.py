@@ -203,6 +203,7 @@ def embedding_near_dups_quantized(
     seed: int = 42,
     threshold_num: int = 2,
     threshold_den: int = 5,
+    persist: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs with cosine ≥ threshold_num/threshold_den,
     integer-exact and LSH-bucket-pruned: the bucket equi-join replaces the
@@ -212,7 +213,12 @@ def embedding_near_dups_quantized(
     quantized longs — no floats cross an engine or shuffle boundary.
     Returns (vec_a, vec_b, qdot). Recall follows the hyperplane collision
     bound (1-θ/π)^planes; raise recall with fewer planes or a union over
-    several seeds."""
+    several seeds.
+
+    persist=True caches the NARROW projected side (id, bucket, quantized
+    vector, norm — no payload) before the self-join: without it Spark
+    evaluates the quantization + num_planes bucket dots twice, once per
+    join side. Caller may spark.catalog.clearCache() when done."""
     b = add_lsh_bucket_quantized(
         df.select(id_col, vec_col), vec_col, dim, num_planes, seed, qe_out="__qe"
     )
@@ -222,6 +228,10 @@ def embedding_near_dups_quantized(
         lambda acc, x: acc + x,
     )
     e = b.select(id_col, "bucket", "__qe", qn.alias("__qn"))
+    if persist:
+        from pyspark import StorageLevel
+
+        e = e.persist(StorageLevel.MEMORY_AND_DISK)
     a, c = e.alias("a"), e.alias("b")
     qd = F.aggregate(
         F.zip_with(F.col("a.__qe"), F.col("b.__qe"), lambda x, y: x * y),

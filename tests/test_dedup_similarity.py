@@ -194,3 +194,28 @@ class TestMultimodal:
         out = mm.frame_sample(media, every_ms=1000)
         per = out.groupBy("media_id").count().collect()
         assert all(r["count"] >= 2 for r in per)
+
+
+def test_jaccard_hot_shingle_cap(spark):
+    """max_shingle_freq drops stop-shingles from the inverted index: pairs
+    sharing only hot shingles disappear, everything else is a lower bound
+    with exact set sizes."""
+    rows = []
+    # 20 docs all share the hot shingle prefix (1,2,3); docs 0/1 also share
+    # a rare tail
+    for i in range(20):
+        tail = [100 + i, 200 + i, 300 + i]
+        if i in (0, 1):
+            tail = [7, 8, 9]
+        rows.append(Row(doc_id=i, tokens=[1, 2, 3] + tail))
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+
+    exact = dd.jaccard_pairs(df, "doc_id", "tokens", n=3, threshold=0.0)
+    capped = dd.jaccard_pairs(df, "doc_id", "tokens", n=3, threshold=0.0,
+                              max_shingle_freq=5)
+    e = {(r.doc_a, r.doc_b): r.common for r in exact.collect()}
+    c = {(r.doc_a, r.doc_b): r.common for r in capped.collect()}
+    # every pair owes its existence to the hot (1,2,3..) shingles except 0-1
+    assert len(e) == 20 * 19 // 2
+    assert set(c) == {(0, 1)}
+    assert c[(0, 1)] < e[(0, 1)]  # hot shingles removed from |∩|

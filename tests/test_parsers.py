@@ -109,3 +109,23 @@ def test_grouping_ops(spark):
     # determinism
     lb2 = {(x.id, x.backend) for x in load_balance(df, "id", 4).collect()}
     assert {(x.id, x.backend) for x in lb.collect()} == lb2
+
+
+def test_time_parser_gotime_layout(spark):
+    """layout_type=gotime accepts Go reference-time layouts
+    (operator/helper/time.go) — the collector's native flavor."""
+    import datetime
+    from opentelemetry_collector_contrib_spark.operators.parse import gotime_to_spark
+
+    assert gotime_to_spark("2006-01-02 15:04:05") == "yyyy-MM-dd HH:mm:ss"
+    assert gotime_to_spark("Jan 2 15:04:05") == "MMM d HH:mm:ss"
+    assert gotime_to_spark("2006-01-02T15:04:05.000") == "yyyy-MM-dd'T'HH:mm:ss.SSS"
+
+    df = spark.createDataFrame([("2024-02-03 13:04:05",)], "t string")
+    out = P.time_parser(df, "t", layout="2006-01-02 15:04:05",
+                        layout_type="gotime", parse_to="ts").collect()[0]
+    assert out.ts == datetime.datetime(2024, 2, 3, 13, 4, 5)
+    # strptime %-directives convert too
+    out2 = P.time_parser(df, "t", layout="%Y-%m-%d %H:%M:%S",
+                         parse_to="ts").collect()[0]
+    assert out2.ts == out.ts
