@@ -370,6 +370,109 @@ FROM events
 """
 
 
+def _q_syslog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC3164 syslog parse incl. PRI → facility/severity split
+    (parser/syslog/parser.go): lines synthesized deterministically from the
+    events table, parsed by the native regex engine."""
+    from .operators.parse import syslog_parser
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("<"), (F.col("event_id") % 192).cast("string"), F.lit(">"),
+            F.lit("Feb "), (F.col("event_id") % 28 + 1).cast("string"),
+            F.lit(" 13:04:05 host-"), (F.col("event_id") % 7).cast("string"),
+            F.lit(" app"), (F.col("event_id") % 3).cast("string"),
+            F.lit(": msg "), F.col("event_type"),
+        ).alias("line"),
+    )
+    out = syslog_parser(lines, "line", protocol="rfc3164")
+    return out.select(
+        "event_id",
+        F.col("pri").cast("int").alias("pri"),
+        "facility",
+        "syslog_severity",
+        "host",
+        "tag",
+        "msg",
+    )
+
+
+_SQL_SYSLOG = """
+WITH lines AS (
+  SELECT event_id,
+         '<' || (event_id % 192) || '>Feb ' || (event_id % 28 + 1)
+             || ' 13:04:05 host-' || (event_id % 7) || ' app' || (event_id % 3)
+             || ': msg ' || event_type AS line
+  FROM events
+)
+SELECT event_id,
+       CAST(event_id % 192 AS INT) AS pri,
+       CAST((event_id % 192) // 8 AS INT) AS facility,
+       CAST((event_id % 192) % 8 AS INT) AS syslog_severity,
+       'host-' || (event_id % 7) AS host,
+       'app' || (event_id % 3) AS tag,
+       regexp_extract(line, ': (msg .*)$', 1) AS msg
+FROM lines
+"""
+
+
+def _q_kv_csv_uri_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_value_parser + csv_parser + uri_parser over one synthesized line
+    per event (parser/keyvalue, parser/csv, parser/uri) — all three parse
+    stages stay inside one codegen'd projection, no Python."""
+    from .operators.parse import csv_parser, key_value_parser, uri_parser
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("user="), F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+        ).alias("kvline"),
+        F.concat(
+            F.col("event_id").cast("string"), F.lit(","),
+            F.col("event_type"), F.lit(","),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("csvline"),
+        F.concat(
+            F.lit("https://example.com/ev/"), F.col("event_type"),
+            F.lit("?u="), F.col("user_id").cast("string"),
+        ).alias("url"),
+    )
+    out = key_value_parser(base, "kvline", parse_to="kv")
+    out = csv_parser(out, "id bigint, et string, cents bigint", "csvline")
+    out = uri_parser(out, "url")
+    return out.select(
+        "event_id",
+        F.col("kv").getItem("user").cast("long").alias("kv_user"),
+        F.col("kv").getItem("type").alias("kv_type"),
+        F.col("parsed.id").alias("csv_id"),
+        F.col("parsed.et").alias("csv_et"),
+        F.col("parsed.cents").alias("csv_cents"),
+        F.col("uri_scheme").alias("scheme"),
+        F.col("uri_host").alias("host"),
+        F.col("uri_path").alias("path"),
+        F.col("uri_query").alias("query"),
+    )
+
+
+_SQL_KV_CSV_URI = """
+SELECT event_id,
+       CAST(user_id AS BIGINT) AS kv_user,
+       event_type AS kv_type,
+       CAST(event_id AS BIGINT) AS csv_id,
+       event_type AS csv_et,
+       CAST(round(value * 100) AS BIGINT) AS csv_cents,
+       'https' AS scheme,
+       'example.com' AS host,
+       '/ev/' || event_type AS path,
+       'u=' || user_id AS query
+FROM events
+"""
+
+
 def _q_ottl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-reflective OTTL converters over the events table: typed
     ParseJSON (→ map<string,string>), Len over a map, and the Is* predicates
@@ -1225,6 +1328,8 @@ REGISTRY: list[Query] = [
     Query("recombine_last", _q_recombine_last, _SQL_RECOMBINE_LAST),
     Query("simhash_near", _q_simhash_near, _SQL_SIMHASH_NEAR),
     Query("ottl_types", _q_ottl_types, _SQL_OTTL_TYPES),
+    Query("syslog_parse", _q_syslog_parse, _SQL_SYSLOG),
+    Query("kv_csv_uri_parse", _q_kv_csv_uri_parse, _SQL_KV_CSV_URI),
     Query("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     Query("text_stats", _q_text_stats, _SQL_TEXT_STATS),
     Query("langid", _q_langid, _langid_sql()),

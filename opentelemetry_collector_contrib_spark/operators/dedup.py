@@ -33,7 +33,11 @@ PERM_B = [334205349, 1823397521, 92898311, 1375333757, 513935479, 1724586217,
 
 
 def exact_dedup(
-    df: DataFrame, content_cols: list[str], id_col: str, method: str = "sha256"
+    df: DataFrame,
+    content_cols: list[str],
+    id_col: str,
+    method: str = "sha256",
+    eager: bool = True,
 ) -> DataFrame:
     """Keep the min-id row per identical content. The shuffle carries only
     (content-hash, id): at 100 TB the payload never moves.
@@ -69,6 +73,19 @@ def exact_dedup(
         .filter(F.col("__rn") > 1)
         .select(id_col)
     )
+    if eager:
+        # Materialize the dup-id set BEFORE planning the anti-join: planned
+        # lazily, Spark submits both shuffle map stages concurrently, so AQE
+        # learns the dup side is tiny only after the payload has already
+        # shuffled by id (and a localCheckpoint's stats are "unknown=huge",
+        # so the static planner won't broadcast either). Checkpoint, count
+        # (cheap — already materialized), and broadcast explicitly when the
+        # dup set is small: the payload then never moves at all. Genuinely
+        # huge dup sets degrade gracefully to the one-payload-shuffle SMJ,
+        # which is the floor for that regime.
+        dup_ids = dup_ids.localCheckpoint(eager=True)
+        if dup_ids.count() <= 10_000_000:
+            dup_ids = F.broadcast(dup_ids)
     return df.join(dup_ids, on=id_col, how="left_anti")
 
 

@@ -144,6 +144,108 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 64,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Coarse-quantizer centroids for IVF, k-means on a driver-side sample —
+    the standard faiss-style recipe (the quantizer trains on a bounded
+    sample regardless of corpus size; only assignment runs distributed).
+    Returns a (k, dim) float64 array; feed to ivf_assign/ivf_topk."""
+    sample = df.select(vec_col)
+    n = sample.limit(sample_rows * 2).count()
+    if n > sample_rows:
+        sample = sample.sample(fraction=min(1.0, sample_rows / n * 1.2), seed=seed)
+    X = np.vstack(
+        [np.asarray(r[0], dtype=np.float64) for r in sample.limit(sample_rows).collect()]
+    )
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(k, len(X)), replace=False)]
+    for _ in range(iters):
+        # cosine assignment: normalize, argmax dot
+        Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (Xn @ Cn.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = X[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    out: str = "cell",
+) -> DataFrame:
+    """Nearest-centroid (cosine) cell id via one numpy matmul per Arrow
+    batch — the IVF inverted-list key. Centroids broadcast inside the UDF
+    closure (a few KB)."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(T.IntegerType())
+    def cell(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series((m @ C.T).argmax(axis=1).astype(np.int32))
+
+    return df.withColumn(out, cell(F.col(vec_col)))
+
+
+def ivf_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: candidates key on their ONE nearest cell;
+    each query probes its n_probe nearest cells (explode) and re-ranks
+    exactly inside them. The expensive side shuffles once by cell id; the
+    query side (small) broadcasts — the faiss IVF-flat plan in DataFrame
+    form. Raise n_probe for recall, cells (len(centroids)) for pruning."""
+    C = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    n_probe = min(n_probe, len(C))
+
+    cb = ivf_assign(candidates, centroids, vec_col, out="cell")
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(m @ C.T), axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    qb = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            probe_cells(F.col(vec_col)).alias("__cells"),
+        )
+        .select("query_id", "__qv", F.explode("__cells").alias("cell"))
+    )
+    joined = cb.join(F.broadcast(qb), on="cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    score = _dot(F.col(vec_col), F.col("__qv")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("__qv"))
+    )
+    scored = joined.withColumn("score", score)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank", "cell")
+    )
+
+
 def quantized_hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[int]]:
     """round(gauss*1000) integer hyperplanes — the quantized twin of
     ``_hyperplanes``. A plain list of ints, so the SAME constants can be

@@ -65,3 +65,35 @@ def test_rerun_is_noop(spark, tokens_path, tmp_path):
     r.run(spark, tokens_path)  # everything committed → no-op
     assert r.routed(spark).count() == n1
     assert len(r.completed_chunks(spark)) == ck1
+
+
+def test_uncommitted_chunk_invisible(spark, tokens_path, tmp_path):
+    """A chunk whose data write landed but whose checkpoint row never did
+    (crash between commit step 1 and step 2) must be invisible to readers
+    until a resume re-commits it — the read view is exactly-once at all
+    times (ADVICE r01)."""
+    import glob
+    import os
+
+    out = str(tmp_path / "out_c")
+    r = CheckpointedRunner(out, _pipeline, files_per_chunk=2)
+    r.run(spark, tokens_path, max_chunks=2)
+    from pyspark.sql import functions as F
+
+    n_committed = r.routed(spark).count()
+    agg_committed = r.aggregates(spark).agg(F.sum("token_count")).collect()[0][0]
+
+    # simulate the torn commit: copy a committed chunk's data dir to a new
+    # chunk id WITHOUT a checkpoint row (same bytes a crashed step-1 leaves)
+    src = sorted(glob.glob(f"{out}/data/chunk=*"))[0]
+    shutil.copytree(src, f"{out}/data/chunk=99999")
+    src_a = sorted(glob.glob(f"{out}/aggs/chunk=*"))[0]
+    shutil.copytree(src_a, f"{out}/aggs/chunk=99999")
+
+    assert r.routed(spark).count() == n_committed
+    assert r.aggregates(spark).agg(F.sum("token_count")).collect()[0][0] == agg_committed
+    assert not any("99999" in c for c in r.completed_chunks(spark))
+
+    # cleanup so the directory doesn't poison later reads
+    shutil.rmtree(f"{out}/data/chunk=99999")
+    shutil.rmtree(f"{out}/aggs/chunk=99999")

@@ -219,3 +219,23 @@ def test_jaccard_hot_shingle_cap(spark):
     assert len(e) == 20 * 19 // 2
     assert set(c) == {(0, 1)}
     assert c[(0, 1)] < e[(0, 1)]  # hot shingles removed from |∩|
+
+
+class TestIVF:
+    def test_ivf_full_probe_equals_brute_force(self, emb):
+        """n_probe = #cells probes every inverted list → IVF must reproduce
+        the exact top-k; with a small probe the planted near-dup is still
+        found (shared nearest centroid by construction)."""
+        cents = sim.train_ivf_centroids(emb, k=4, sample_rows=100, iters=5, seed=3)
+        queries = emb.filter("vec_id = 0")
+
+        full = sim.ivf_topk(emb, queries, cents, k=5, n_probe=4)
+        brute = sim.brute_force_topk(emb, queries, k=5)
+        got = [r.vec_id for r in sorted(full.collect(), key=lambda r: r.rank)]
+        want = [r.vec_id for r in sorted(brute.collect(), key=lambda r: r.rank)]
+        assert got == want
+
+        probe1 = sim.ivf_topk(emb, queries, cents, k=5, n_probe=1)
+        rows = sorted(probe1.collect(), key=lambda r: r.rank)
+        assert rows and rows[0].vec_id == 40  # planted near-dup of 0
+        assert rows[0].score > 0.999
