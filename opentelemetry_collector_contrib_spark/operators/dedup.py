@@ -217,6 +217,12 @@ def minhash_dedup(
     dupes = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
+    # comp is already localCheckpoint()ed by connected_components, so the
+    # dup-id count is cheap; broadcast the anti-join build side when small
+    # so the payload never shuffles (same hazard/fix as exact_dedup — a
+    # lazily planned anti-join would exchange the full corpus by id).
+    if dupes.count() <= 10_000_000:
+        dupes = F.broadcast(dupes)
     return df.join(dupes, on=id_col, how="left_anti")
 
 
