@@ -473,6 +473,43 @@ FROM events
 """
 
 
+def _q_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML parse (func_parse_xml.go analog): one synthesized XML doc per
+    event → from_xml struct + an xpath attribute extraction, all JVM-side."""
+    from .operators.parse import xml_parser, xml_xpath
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('<ev sev="s'), (F.col("event_id") % 5).cast("string"),
+            F.lit('"><type>'), F.col("event_type"),
+            F.lit("</type><cents>"),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+            F.lit("</cents></ev>"),
+        ).alias("xml"),
+    )
+    out = xml_parser(base, "type string, cents bigint, _sev string", "xml")
+    out = xml_xpath(out, "xml", {"xp_type": "/ev/type"})
+    return out.select(
+        "event_id",
+        F.col("parsed.type").alias("xtype"),
+        F.col("parsed.cents").alias("xcents"),
+        F.col("parsed._sev").alias("xsev"),
+        "xp_type",
+    )
+
+
+_SQL_XML = """
+SELECT event_id,
+       event_type AS xtype,
+       CAST(round(value * 100) AS BIGINT) AS xcents,
+       's' || (event_id % 5) AS xsev,
+       event_type AS xp_type
+FROM events
+"""
+
+
 def _q_ottl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-reflective OTTL converters over the events table: typed
     ParseJSON (→ map<string,string>), Len over a map, and the Is* predicates
@@ -571,6 +608,98 @@ FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name, n_name
+"""
+
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): selective dimension filter →
+    3-table join → aggregate → top-N. The plan evidence: the BUILDING
+    customer filter pushes into the scan, the pruned customer side
+    broadcasts, and only the orders⋈lineitem equi-join shuffles — exactly
+    the join order a 100 TB fact table needs. Revenue in integer 10⁻⁴
+    dollars for cross-engine exactness."""
+    cutoff = "1998-06-01"
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+        .orderBy(F.col("revenue_e4").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue_e4")
+    )
+
+
+_SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey
+ORDER BY revenue_e4 DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier revenue): 6-table join with the
+    region→nation dimension chain broadcast, the customer=supplier
+    same-nation predicate, and one fact-fact shuffle (orders⋈lineitem) —
+    the join-reordering stress test. Integer 10⁻⁴-dollar revenue."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_e4"))
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
 """
 
 
@@ -1320,6 +1449,8 @@ REGISTRY: list[Query] = [
     Query("tpch_q1", _q_tpch_q1, _SQL_TPCH_Q1),
     Query("join_agg", _q_join_agg, _SQL_JOIN_AGG),
     Query("topk_orders", _q_topk_orders, _SQL_TOPK),
+    Query("tpch_q3", _q_tpch_q3, _SQL_TPCH_Q3),
+    Query("tpch_q5", _q_tpch_q5, _SQL_TPCH_Q5),
     Query("minhash_sig", _q_minhash_sig, _SQL_MINHASH),
     Query("minhash_band_pairs", _q_minhash_band_pairs, _SQL_MINHASH_PAIRS),
     Query("shingle_stats", _q_shingle_stats, _SQL_SHINGLES),
@@ -1330,6 +1461,7 @@ REGISTRY: list[Query] = [
     Query("ottl_types", _q_ottl_types, _SQL_OTTL_TYPES),
     Query("syslog_parse", _q_syslog_parse, _SQL_SYSLOG),
     Query("kv_csv_uri_parse", _q_kv_csv_uri_parse, _SQL_KV_CSV_URI),
+    Query("xml_parse", _q_xml_parse, _SQL_XML),
     Query("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),
     Query("text_stats", _q_text_stats, _SQL_TEXT_STATS),
     Query("langid", _q_langid, _langid_sql()),

@@ -1,11 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partition strategy, Arrow batch shape,
-UDF signatures) is real and tested; the actual codec work is STUBBED —
-image/audio libraries are not in this container. ``fake=True`` swaps in a
-deterministic stand-in decoder so the distributed plumbing can be exercised
-end to end; ``fake=False`` raises NotImplementedError where PIL/ffmpeg
-would be called.
+UDF signatures) is real and tested. Codec coverage is split honestly:
+
+- REAL decoders (stdlib/numpy only, no external libs): PGM/PPM images
+  (P2/P3 ASCII, P5/P6 binary — pure parsing) and RIFF/PCM WAV audio
+  (stdlib ``wave``). ``decode_and_featurize_real`` runs them distributed
+  over mapInPandas and extracts pixel/sample-domain features.
+- STUBBED codecs (JPEG/PNG/MP3/H.264 — would need PIL/ffmpeg, not in this
+  container): dispatch raises NotImplementedError; ``fake=True`` swaps in a
+  deterministic stand-in so the plumbing is exercisable for any mime.
 
 Batch shape contract: mapInPandas receives column-pruned Arrow batches —
 binary payloads stream batch-by-batch, never materialized per partition,
@@ -14,6 +18,8 @@ so executor memory is bounded by (arrow batch rows × max payload size).
 
 from __future__ import annotations
 
+import io
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -70,6 +76,189 @@ def synthetic_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
                     ],
                 }
             )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------- real codecs
+# Pure-stdlib/numpy encode+decode for the formats that need no external
+# libraries. Encoders exist so tests and synthetic corpora can round-trip
+# genuine bytes through the distributed decode path.
+
+
+def encode_pgm(pixels: np.ndarray) -> bytes:
+    """Grayscale (h, w) uint8 → binary PGM (P5)."""
+    h, w = pixels.shape
+    return f"P5\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """RGB (h, w, 3) uint8 → binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return f"P6\n{w} {h}\n255\n".encode() + pixels.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Mono int16 samples → RIFF/PCM WAV via stdlib wave."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_netpbm(payload: bytes) -> np.ndarray:
+    """PGM/PPM decode (P2/P3 ASCII, P5/P6 binary) → uint8 array of shape
+    (h, w) gray or (h, w, 3) RGB. Pure parsing; raises ValueError on
+    malformed input."""
+    if not payload or payload[:1] != b"P":
+        raise ValueError("not a netpbm payload")
+    magic = payload[:2].decode("ascii", "strict")
+    if magic not in ("P2", "P3", "P5", "P6"):
+        raise ValueError(f"unsupported netpbm magic {magic}")
+    # tokenize header: magic, width, height, maxval (comments start with #)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        # skip whitespace/comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    w, h, _maxval = tokens
+    channels = 3 if magic in ("P3", "P6") else 1
+    if magic in ("P5", "P6"):
+        pos += 1  # single whitespace after maxval
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=pos)
+    else:
+        vals = [int(x) for x in payload[pos:].split()[: w * h * channels]]
+        raster = np.array(vals, dtype=np.uint8)
+    return raster.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/PCM WAV → (mono float32 samples in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as r:
+        rate = r.getframerate()
+        n = r.getnframes()
+        width = r.getsampwidth()
+        ch = r.getnchannels()
+        raw = r.readframes(n)
+    dtype = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}[width]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    if width == 1:
+        arr = (arr - 128.0) / 128.0
+    else:
+        arr = arr / float(1 << (8 * width - 1))
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr, rate
+
+
+def _image_feature(img: np.ndarray) -> np.ndarray:
+    """4×4 block-mean grid of the grayscale image → 16-dim float32."""
+    gray = img.mean(axis=2) if img.ndim == 3 else img.astype(np.float64)
+    h, w = gray.shape
+    ys = np.linspace(0, h, 5, dtype=int)
+    xs = np.linspace(0, w, 5, dtype=int)
+    out = np.zeros(16, dtype=np.float32)
+    for i in range(4):
+        for j in range(4):
+            block = gray[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i * 4 + j] = float(block.mean()) / 255.0
+    return out
+
+
+def _audio_feature(samples: np.ndarray) -> np.ndarray:
+    """16-segment RMS energy profile → 16-dim float32."""
+    out = np.zeros(16, dtype=np.float32)
+    if len(samples):
+        bounds = np.linspace(0, len(samples), 17, dtype=int)
+        for i in range(16):
+            seg = samples[bounds[i] : max(bounds[i + 1], bounds[i] + 1)]
+            out[i] = float(np.sqrt(np.mean(seg**2)))
+    return out
+
+
+REAL_FEATURE_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "duration_ms int, feature array<float>"
+)
+
+
+def decode_and_featurize_real(df: DataFrame) -> DataFrame:
+    """Distributed REAL decode: netpbm images and WAV audio parsed from
+    their actual bytes inside mapInPandas (one Arrow batch at a time);
+    features come from the decoded pixel/sample domain. Mimes without a
+    pure-Python codec (image/jpeg, video/*) raise NotImplementedError —
+    the honest boundary of this container."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload, mime in zip(
+                pdf["media_id"], pdf["payload"], pdf["mime"]
+            ):
+                if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
+                    img = decode_netpbm(bytes(payload))
+                    h, w = img.shape[:2]
+                    rows.append(
+                        dict(media_id=mid, kind="image", width=w, height=h,
+                             sample_rate=None, duration_ms=None,
+                             feature=_image_feature(img))
+                    )
+                elif mime in ("audio/wav", "audio/x-wav"):
+                    samples, rate = decode_wav(bytes(payload))
+                    rows.append(
+                        dict(media_id=mid, kind="audio", width=None, height=None,
+                             sample_rate=rate,
+                             duration_ms=int(len(samples) * 1000 / rate),
+                             feature=_audio_feature(samples))
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"no pure-Python codec for {mime!r}; PIL/ffmpeg not "
+                        "available in this environment"
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, REAL_FEATURE_SCHEMA)
+
+
+def synthetic_real_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
+    """Corpus of GENUINE encoded bytes: even ids → binary PGM images (8×8
+    deterministic gradient), odd ids → WAV audio (8 kHz sine, id-dependent
+    frequency). Exercises the real decoders distributed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                if i % 2 == 0:
+                    px = ((np.add.outer(np.arange(8), np.arange(8)) * (i + 3)) % 256).astype(np.uint8)
+                    rows.append(
+                        dict(media_id=i, payload=encode_pgm(px),
+                             mime="image/x-portable-graymap",
+                             meta=dict(width=8, height=8, duration_ms=None, codec="pgm"))
+                    )
+                else:
+                    t = np.arange(800, dtype=np.float64)
+                    freq = 100.0 + (i % 7) * 50.0
+                    samples = (np.sin(2 * np.pi * freq * t / 8000.0) * 20000).astype(np.int16)
+                    rows.append(
+                        dict(media_id=i, payload=encode_wav(samples, 8000),
+                             mime="audio/wav",
+                             meta=dict(width=None, height=None, duration_ms=100, codec="pcm_s16le"))
+                    )
+            yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
 

@@ -116,6 +116,37 @@ def json_parser(df: DataFrame, schema, parse_from: str, parse_to: str = "parsed"
     return df.withColumn(parse_to, F.from_json(F.col(parse_from), schema))
 
 
+def xml_parser(
+    df: DataFrame, schema: str, parse_from: str, parse_to: str = "parsed"
+) -> DataFrame:
+    """XML parse → struct via from_xml (`pkg/ottl/ottlfuncs/func_parse_xml.go`
+    flattening semantics under a declared schema; attributes address as
+    ``_name`` fields). For ad-hoc single-value extraction see
+    ``xml_xpath``."""
+    return df.withColumn(parse_to, F.from_xml(F.col(parse_from), schema))
+
+
+def xml_xpath(
+    df: DataFrame, parse_from: str, paths: dict[str, str], on_error: str = "send"
+) -> DataFrame:
+    """Targeted XPath extraction (one output column per path) — the
+    schema-free escape hatch for documents too irregular to declare.
+
+    on_error='send' nulls rows that don't look like XML (xpath_string
+    RAISES on unparseable input, unlike from_xml); a row that passes the
+    cheap '<'-prefix guard but is still malformed propagates the task
+    error — use xml_parser (null-safe from_xml) when inputs are dirty."""
+    col = F.col(parse_from)
+    looks_xml = col.rlike(r"^\s*<")
+    out = df
+    for name, xp in paths.items():
+        v = F.xpath_string(col, F.lit(xp))
+        if on_error == "send":
+            v = F.when(looks_xml, v)
+        out = out.withColumn(name, v)
+    return out
+
+
 def csv_parser(
     df: DataFrame, schema: str, parse_from: str, parse_to: str = "parsed", sep: str = ","
 ) -> DataFrame:

@@ -194,6 +194,10 @@ def _build_converters() -> None:
     # string rendering (our attribute maps are map<string,string>); malformed
     # JSON → null (ErrorMode ignore)
     C["ParseJSON"] = lambda x: F.from_json(_as_col(x), "map<string,string>")
+    # func_parse_xml.go — the reference flattens to a dynamic document map;
+    # under a fixed schema the target structure is declared as a DDL literal
+    # (attributes address as _name fields per from_xml convention)
+    C["ParseXML"] = lambda x, schema: F.from_xml(_as_col(x), _lit_str(schema))
     C["ParseKeyValue"] = lambda x, pd=" ", kd="=": F.str_to_map(
         _as_col(x), F.lit(_lit_str(pd)), F.lit(_lit_str(kd))
     )

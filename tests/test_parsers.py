@@ -129,3 +129,31 @@ def test_time_parser_gotime_layout(spark):
     out2 = P.time_parser(df, "t", layout="%Y-%m-%d %H:%M:%S",
                          parse_to="ts").collect()[0]
     assert out2.ts == out.ts
+
+
+def test_xml_parser_and_xpath(spark):
+    """from_xml struct parse + xpath extraction (func_parse_xml.go analog);
+    attributes address as _name fields."""
+    df = spark.createDataFrame(
+        [('<log sev="err"><msg>boom</msg><code>7</code></log>',),
+         ("<log><msg>no attrs</msg></log>",),
+         ("not xml at all",)],
+        "x string",
+    )
+    out = P.xml_parser(df, "msg string, code int, _sev string", "x").collect()
+    assert out[0].parsed.msg == "boom"
+    assert out[0].parsed.code == 7
+    assert out[0].parsed._sev == "err"
+    assert out[1].parsed.msg == "no attrs" and out[1].parsed._sev is None
+    assert out[2].parsed is None or out[2].parsed.msg is None  # malformed → null
+
+    xp = P.xml_xpath(df, "x", {"m": "/log/msg", "s": "/log/@sev"}).collect()
+    assert xp[0].m == "boom" and xp[0].s == "err"
+
+
+def test_ottl_parse_xml_converter(spark):
+    from opentelemetry_collector_contrib_spark.ottl import compile_statement
+
+    df = spark.createDataFrame([("<e><v>42</v></e>",)], "body string")
+    got = compile_statement(df, 'set(parsed, ParseXML(body, "v int"))').collect()[0]
+    assert got.parsed.v == 42
