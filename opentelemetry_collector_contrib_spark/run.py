@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--match-once", action="store_true", default=True)
     ap.add_argument("--multicast", dest="match_once", action="store_false")
     ap.add_argument("--files-per-chunk", type=int, default=16)
+    ap.add_argument(
+        "--gen-partitions", type=int, default=None,
+        help="partition count for --generate-rows (default: defaultParallelism; "
+        "raise for bounded per-task memory at large N)",
+    )
     ap.add_argument("--master", default=None, help="override master (default local[$SPARK_GRAFT_CPUS]; unset under spark-submit)")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
@@ -51,7 +56,9 @@ def main(argv: list[str] | None = None) -> int:
         # no leading underscore: Spark's file index treats _-prefixed paths
         # as hidden metadata when listing parents
         input_path = f"{args.out.rstrip('/')}/generated_tokens"
-        tokens_df(spark, args.generate_rows).write.mode("overwrite").parquet(input_path)
+        tokens_df(
+            spark, args.generate_rows, num_partitions=args.gen_partitions
+        ).write.mode("overwrite").parquet(input_path)
     if not input_path:
         ap.error("either --input or --generate-rows is required")
 

@@ -113,3 +113,21 @@ def run_streaming_to_completion(
     routed = streaming_pipeline(stream, spark, match_once=match_once, lut=lut, routes=routes)
     q = route_sink(routed, out_dir, f"{out_dir}/_checkpoint").start()
     q.awaitTermination()
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop re-deliveries of the same key within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). This is the
+    streaming face of ``operators.dedup.exact_dedup`` — state is bounded by
+    the watermark (keys older than the horizon are evicted), so it runs
+    indefinitely at firehose rates; the batch operator remains the
+    whole-corpus pass. Mirrors the at-least-once receiver semantics of the
+    reference (re-delivered log entries collapse to one)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

@@ -59,3 +59,45 @@ def test_windowed_counts_batch_semantics(spark, tokens_path):
     assert sum(r.row_count for r in wc) == with_ts
     assert 0 < with_ts < N
     assert all(r.window_start is not None for r in wc)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered rows (same content hash) collapse to one inside the
+    watermark horizon; state stays bounded by eviction."""
+    import datetime
+
+    from pyspark.sql import Row
+    from opentelemetry_collector_contrib_spark.streaming.stream_pipeline import (
+        streaming_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ck")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(50):
+        # every row delivered twice (duplicate key), distinct timestamps
+        for _ in range(2):
+            rows.append(Row(k=f"key-{i}", ts=base + datetime.timedelta(seconds=i)))
+    spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = streaming_dedup(stream, ["k"], "ts", "5 minutes")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 50
+    assert got.select("k").distinct().count() == 50
