@@ -182,3 +182,25 @@ def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
         F.col("r.traceId").alias("trace_id"),
         F.col("r.spanId").alias("span_id"),
     )
+
+
+def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """TCP line stream → unbounded DataFrame of ``value: string`` — the
+    tcplog/syslog-receiver analog (`receiver/tcplogreceiver`,
+    `pkg/stanza/operator/input/tcp/input.go:121-186`: accept, split on
+    newline, emit entries). Spark's socket source does exactly the
+    accept+line-split half; pipe the result through syslog_parser /
+    regex_parser for the parse half — the same code as batch.
+
+    Scale note: the built-in socket source is single-connection and
+    checkpoint-free (Spark documents it for testing); a production
+    deployment fronts the socket fleet with a durable log (Kafka/Kinesis
+    receiver) and swaps ONLY this source line — the parse/route/sink
+    graph is unchanged. That swap-the-source property is the point of
+    keeping ingestion behind this function."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", str(port))
+        .load()
+    )

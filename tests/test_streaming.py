@@ -101,3 +101,67 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 50
     assert got.select("k").distinct().count() == 50
+
+
+def test_socket_source_syslog_pipeline(spark, tmp_path):
+    """Live TCP ingestion: a background thread serves RFC3164 lines over a
+    socket; the stream parses PRI/facility/severity with the SAME batch
+    syslog_parser and lands per-route parquet. (tcplog receiver analog.)"""
+    import socket
+    import threading
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        stream_socket_lines,
+    )
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_parser
+
+    lines = [
+        f"<{(i * 13) % 192}>Feb {i % 28 + 1} 13:04:05 host-{i % 3} app: msg {i}"
+        for i in range(40)
+    ]
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    port = srv.getsockname()[1]
+    srv.listen(1)
+
+    def serve():
+        conn, _ = srv.accept()
+        with conn:
+            for l in lines:
+                conn.sendall((l + "\n").encode())
+            _time.sleep(8)  # keep the connection up while the stream drains
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    stream = stream_socket_lines(spark, "127.0.0.1", port)
+    parsed = syslog_parser(stream, "value", protocol="rfc3164").select(
+        "pri", "facility", "syslog_severity", "host", "msg"
+    )
+    out = str(tmp_path / "sink")
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= len(lines):
+                break
+        except Exception:
+            pass
+        _time.sleep(1)
+    q.stop()
+    srv.close()
+    got = spark.read.parquet(out)
+    assert got.count() == len(lines)
+    row = got.filter("msg = 'msg 7'").collect()[0]
+    assert int(row.pri) == (7 * 13) % 192
+    assert row.facility == int(row.pri) // 8 and row.syslog_severity == int(row.pri) % 8
+    assert row.host == "host-1"
