@@ -88,6 +88,23 @@ def _hyperplanes(dim: int, num_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((num_planes, dim)).astype(np.float64)
 
 
+def _bucket_col(
+    vec_col: str, dim: int, num_planes: int, seed: int
+) -> Column:
+    """Hyperplane-signature bucket as a Column expression (one numpy matmul
+    per Arrow batch — no per-row Python)."""
+    planes = _hyperplanes(dim, num_planes, seed)
+
+    @pandas_udf(T.IntegerType())
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.vstack(vecs.to_numpy())  # (batch, dim)
+        bits = (m @ planes.T) >= 0  # (batch, planes)
+        vals = (bits * (1 << np.arange(num_planes))).sum(axis=1)
+        return pd.Series(vals.astype(np.int32))
+
+    return sig(F.col(vec_col))
+
+
 def add_lsh_bucket(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -98,16 +115,7 @@ def add_lsh_bucket(
 ) -> DataFrame:
     """Random-hyperplane signature via one numpy matmul per Arrow batch
     (vectorized pandas UDF — no per-row Python)."""
-    planes = _hyperplanes(dim, num_planes, seed)
-
-    @pandas_udf(T.IntegerType())
-    def sig(vecs: pd.Series) -> pd.Series:
-        m = np.vstack(vecs.to_numpy())  # (batch, dim)
-        bits = (m @ planes.T) >= 0  # (batch, planes)
-        vals = (bits * (1 << np.arange(num_planes))).sum(axis=1)
-        return pd.Series(vals.astype(np.int32))
-
-    return df.withColumn(out, sig(F.col(vec_col)))
+    return df.withColumn(out, _bucket_col(vec_col, dim, num_planes, seed))
 
 
 def lsh_topk(
@@ -119,18 +127,43 @@ def lsh_topk(
     k: int = 10,
     num_planes: int = 8,
     seed: int = 42,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates and queries share a hyperplane bucket;
-    exact cosine re-rank inside the bucket. Recall rises with fewer planes /
-    multiple tables; this single-table form is the scale skeleton."""
-    cb = add_lsh_bucket(candidates, vec_col, dim, num_planes, seed)
-    qb = add_lsh_bucket(queries, vec_col, dim, num_planes, seed).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.col("bucket"),
-    )
-    joined = cb.join(F.broadcast(qb), on="bucket").filter(
-        F.col(id_col) != F.col("query_id")
+    exact cosine re-rank inside the bucket.
+
+    num_tables > 1 is the standard recall lever: each table hashes with an
+    independent plane set (seed+t); a candidate is examined if it collides
+    with the query in ANY table (1-(1-p^planes)^tables retall curve). In
+    plan terms each row explodes to num_tables (table, bucket) keys and the
+    join keys on the pair — same bucket-keyed shuffle, ×tables volume;
+    duplicates across tables collapse before the re-rank window."""
+    def keyed(df, id_alias=None, keep_vec_as=None):
+        cols = [
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _bucket_col(vec_col, dim, num_planes, seed + t).alias("b"),
+            )
+            for t in range(num_tables)
+        ]
+        out = df.withColumn("__tb", F.explode(F.array(*cols)))
+        sel = [
+            F.col(id_col).alias(id_alias) if id_alias else F.col(id_col),
+            F.col("__tb.tbl").alias("tbl"),
+            F.col("__tb.b").alias("bucket"),
+        ]
+        if keep_vec_as:
+            sel.insert(1, F.col(vec_col).alias(keep_vec_as))
+        else:
+            sel.insert(1, F.col(vec_col))
+        return out.select(*sel)
+
+    cb = keyed(candidates)
+    qb = keyed(queries, id_alias="query_id", keep_vec_as="__qv")
+    joined = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
     )
     score = _dot(F.col(vec_col), F.col("__qv")) / (
         _norm(F.col(vec_col)) * _norm(F.col("__qv"))

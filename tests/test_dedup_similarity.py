@@ -286,3 +286,31 @@ class TestRealCodecs:
         bad = media.withColumn("mime", F.lit("image/jpeg"))
         with pytest.raises(Exception, match="NotImplementedError|no pure-Python codec"):
             mm.decode_and_featurize_real(bad).collect()
+
+
+def test_lsh_multi_table_recall(spark, emb):
+    """Multi-table LSH unions independent plane sets: recall vs brute force
+    is monotonically ≥ the single-table run, and the planted near-dup is
+    always found; no duplicate (query, candidate) rows leak from the table
+    explosion."""
+    queries = emb.filter("vec_id in (0, 5, 9)")
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in sim.brute_force_topk(emb, queries, k=5).collect()
+    }
+
+    def result(n_tables):
+        got = sim.lsh_topk(
+            emb, queries, k=5, dim=8, num_planes=4, num_tables=n_tables
+        ).collect()
+        pairs = [(r.query_id, r.vec_id) for r in got]
+        assert len(pairs) == len(set(pairs))  # dedup across tables held
+        return set(pairs)
+
+    p1, p4 = result(1), result(4)
+    r1 = len(p1 & brute) / len(brute)
+    r4 = len(p4 & brute) / len(brute)
+    assert r4 >= r1  # more tables never hurt recall
+    assert r4 >= 0.4  # consistent with 1-(1-p^4)^4 for random 8-d vectors
+    # the planted near-dup (cos≈1 ⇒ collides in every table) is always found
+    assert (0, 40) in p4
