@@ -1135,6 +1135,34 @@ WHERE qdot > 0 AND qdot*qdot*25 >= qn_a*qn_b*4
 _SQL_EMB_NEARDUP = _emb_neardup_sql()
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors (rows-only check: the coarse
+    quantizer trains on a float k-means sample, so scores are not
+    SQL-reproducible; determinism comes from fixed seeds and id tie-breaks).
+    Plan: candidates shuffle once by cell, query probes broadcast."""
+    from .operators.similarity import ivf_topk, train_ivf_centroids
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = train_ivf_centroids(emb, k=8, sample_rows=2000, iters=5, seed=7)
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, qs, cents, k=10, n_probe=2).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def _q_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH top-k (rows-only check — float cosine
+    re-rank): 2 independent tables of 6 planes, union of bucket joins,
+    dedup before the re-rank window."""
+    from .operators.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return lsh_topk(
+        emb, qs, k=10, dim=64, num_planes=6, seed=11, num_tables=2
+    ).select("query_id", "vec_id", "rank")
+
+
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OTTL statement sequence over events — parity evidence for
     the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
@@ -1467,6 +1495,8 @@ REGISTRY: list[Query] = [
     Query("langid", _q_langid, _langid_sql()),
     Query("fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
     Query("embedding_topk", _q_embedding_topk, _SQL_EMB_TOPK),
+    Query("ivf_topk", _q_ivf_topk, None),
+    Query("lsh_topk_multi", _q_lsh_topk_multi, None),
     Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
     Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),
