@@ -1363,6 +1363,36 @@ FROM cents e ASOF LEFT JOIN daily d ON e.user_id = d.user_id AND e.ts >= d.ts
 """
 
 
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact P50/P90/P99 per event type (the spanmetrics/summary-metric
+    percentile analog, computed exactly instead of sketched). Both engines
+    interpolate sorted integer cents with the same lo + frac·(hi−lo) double
+    formula, so even the interpolated values are bit-identical."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = F.expr(
+        "percentile(CAST(round(value*100) AS BIGINT), array(0.5, 0.9, 0.99))"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(p.alias("p"))
+        .select(
+            "event_type",
+            F.col("p")[0].alias("p50"),
+            F.col("p")[1].alias("p90"),
+            F.col("p")[2].alias("p99"),
+        )
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.5) AS p50,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.9) AS p90,
+       quantile_cont(CAST(round(value*100) AS BIGINT), 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def _q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rollup + exact distinct aggregation over the routed pipeline —
     capabilities the reference lacks entirely (SURVEY §2.8) that fall out of
@@ -1506,6 +1536,7 @@ REGISTRY: list[Query] = [
     Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
     Query("sessionize", _q_sessionize, _SQL_SESSIONIZE),
     Query("agg_rollup", _q_agg_rollup, _SQL_ROLLUP),
+    Query("percentiles", _q_percentiles, _SQL_PERCENTILES),
     Query("asof_join", _q_asof_join, _SQL_ASOF),
     Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
