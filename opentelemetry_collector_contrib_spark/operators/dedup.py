@@ -105,13 +105,20 @@ def minhash_signature(
     mh0..mh{k-1}; value_i = min over tokens of (x*A_i + B_i) mod 2³¹−1.
 
     engine='arrow' (default): one vectorized numpy kernel computes all k
-    mins per Arrow batch — flatten the list column once, hash the flat
-    int64 values, segmented min via ``np.minimum.reduceat``. Spark's
-    higher-order functions (transform/aggregate) are evaluated INTERPRETED
-    per element (no whole-stage codegen), which made the JVM form the
-    single hottest stage of the 20M-row dedup bench (~51 s of the 94 s
-    total); the Arrow kernel is ~10× faster and bit-identical (pure int64
-    math, same formula the DuckDB oracle runs).
+    mins per Arrow batch — flatten the list column once, per-permutation
+    hash, segmented min via ``np.minimum.reduceat``. Spark's higher-order
+    functions (transform/aggregate) are evaluated INTERPRETED per element
+    (no whole-stage codegen), which made the JVM form the single hottest
+    stage of the 20M-row dedup bench (~70 s of the 94 s total). Measured
+    kernel economics at 2.7B tokens on 32 cores (the path is
+    memory-bandwidth-bound, so int32 beats int64 2×): int64 `(x*a+b)%M`
+    578 core-s; int64 LUT gather 123 core-s; the shipped kernel uses a
+    per-permutation int32 lookup table over the token vocabulary (200 KB,
+    L2-resident — a (vocab,k) 2-D LUT thrashes cache and measures 5×
+    slower) and falls back to the mod formula per batch when values fall
+    outside [0, vocab). End to end: 71 s (JVM HOF) → 31 s (this kernel);
+    Arrow transfer itself is ~8 s of that. Bit-identical to the formula
+    (the LUT is the formula, precomputed) and to the DuckDB oracle.
 
     engine='jvm': the original transform+array_min form — no Python workers
     involved; kept as the dependency-free fallback and as the cross-engine
@@ -137,6 +144,12 @@ def minhash_signature(
 
     a_consts = [PERM_A[i % len(PERM_A)] for i in range(num_perms)]
     b_consts = [PERM_B[i % len(PERM_B)] for i in range(num_perms)]
+    # MERSENNE-1 < 2^31, so hash values fit int32: L2-resident LUT + half
+    # the memory traffic of the int64 path (the kernel is bandwidth-bound)
+    luts = [
+        ((np.arange(VOCAB, dtype=np.int64) * a + b) % MERSENNE).astype(np.int32)
+        for a, b in zip(a_consts, b_consts)
+    ]
     out_schema = T.StructType(
         [T.StructField(f"m{i}", T.LongType(), True) for i in range(num_perms)]
     )
@@ -149,7 +162,7 @@ def minhash_signature(
         off = arr.offsets.to_numpy().astype(np.int64)
         base, stop = off[0], off[-1]
         # child values are shared/unsliced; restrict to this batch's span
-        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)[base:stop]
+        vals = arr.values.to_numpy(zero_copy_only=False)[base:stop]
         starts = off[:-1] - base
         lens = off[1:] - off[:-1]
         valid = lens > 0
@@ -158,21 +171,33 @@ def minhash_signature(
             valid &= arr.is_valid().to_numpy(zero_copy_only=False)
             # a null entry with non-equal offsets would otherwise leak its
             # values into the preceding valid segment's reduce span — mark
-            # them so each perm's hashes are overwritten with MERSENNE
+            # them so each perm's hashes are overwritten with a sentinel
             # (> any hash) and min() ignores them
             drop = ~np.repeat(valid, lens)
         ne = np.flatnonzero(valid)
+        in_vocab = len(vals) == 0 or (
+            vals.dtype in (np.dtype(np.int32), np.dtype(np.int64))
+            and int(vals.min()) >= 0
+            and int(vals.max()) < VOCAB
+        )
+        if not in_vocab:
+            vals = vals.astype(np.int64)
         children = []
         for i in range(num_perms):
-            h = (vals * a_consts[i] + b_consts[i]) % MERSENNE
+            if in_vocab:
+                h = luts[i][vals]  # one L2-hit gather per token
+                sentinel = np.int32(MERSENNE)
+            else:
+                h = (vals * a_consts[i] + b_consts[i]) % MERSENNE
+                sentinel = np.int64(MERSENNE)
             if drop is not None:
-                h[drop] = MERSENNE
-            out = np.zeros(n, dtype=np.int64)
+                h[drop] = sentinel
+            out = np.zeros(n, dtype=h.dtype)
             if len(ne):
                 # list segments are contiguous, so reducing at the starts of
                 # the NON-EMPTY segments spans exactly each segment
                 out[ne] = np.minimum.reduceat(h, starts[ne])
-            children.append(pa.array(out, mask=~valid))
+            children.append(pa.array(out.astype(np.int64), mask=~valid))
         return pa.StructArray.from_arrays(
             children, names=[f"m{i}" for i in range(num_perms)]
         )
@@ -280,7 +305,16 @@ def connected_components(
     insensitive) but duplicate edges waste join work."""
     from pyspark import StorageLevel
 
-    p = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).distinct()
+    # Persist the distinct pair set BEFORE mirroring: the union's two
+    # branches otherwise each re-evaluate the full upstream pipeline
+    # (signature + pair generation — the expensive part; AQE does not
+    # reliably reuse the distinct's exchange across union branches, and a
+    # measured 20M-row run paid the signature twice: 99 s → 177 s).
+    p = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     nparts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     edges = (
         p.union(p.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -320,6 +354,7 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    p.unpersist()
     return labels
 
 
