@@ -14,7 +14,25 @@ without it the low-N JVM freeloads GC/Python work onto the machine's idle
 cores and the ratio understates real cluster scaling. Two pairs are
 reported (2→8, 4→16); beyond ~16 threads this single shared memory bus
 saturates, which separate cluster nodes would not.
-"""
+
+The scaling phase DEFENDS ITSELF against machine contention (round-2
+post-mortem: one concurrent Spark job stole the pinned children's cores
+and sank the recorded 4→16 ratio to 0.666 while clean runs measured
+0.80–0.92):
+
+- before every pinned child, scan /proc for foreign JVMs / pyspark
+  daemons (anything not descended from this bench) and wait for them to
+  exit (up to SPARK_GRAFT_CONTENTION_WAIT_S, default 600 s);
+- read the host steal counter from /proc/stat around every child; a
+  sample whose steal share exceeds SPARK_GRAFT_MAX_STEAL (default 4 %)
+  is contaminated — discard and re-run it (up to 2 retries);
+- run each level as ONE timed run per child and INTERLEAVE the levels
+  across 3 rounds (2,4,8,16, 2,4,8,16, …), taking the per-level median:
+  a single bad window on the machine can no longer sink exactly one
+  level and fake a scaling failure.
+
+Every accepted sample's steal share plus any contention events are
+reported in the output JSON under "scaling"."""
 
 from __future__ import annotations
 
@@ -46,11 +64,13 @@ def ensure_tokens_parquet(spark, n_rows: int) -> str:
     return path
 
 
-def run_pipeline_job(spark, path: str, n_rows: int) -> float:
+def run_pipeline_job(spark, path: str, n_rows: int, runs: int = 3) -> float:
     """Timed end-to-end run (scan → render → Arrow-UDF grok parse → severity
-    → broadcast enrich → route → aggregate); returns MEDIAN of 3 timed runs
-    (median, not best — the scaling-efficiency gate must not be won by a
-    lucky outlier; VERDICT r01 bench-hygiene item)."""
+    → broadcast enrich → route → aggregate); returns MEDIAN of `runs` timed
+    runs (median, not best — the scaling-efficiency gate must not be won by
+    a lucky outlier; VERDICT r01 bench-hygiene item). The scaling children
+    use runs=1: cross-run robustness there comes from interleaving levels
+    across rounds in the parent instead."""
     import statistics
 
     from opentelemetry_collector_contrib_spark.plans.pipeline import full_pipeline
@@ -62,7 +82,7 @@ def run_pipeline_job(spark, path: str, n_rows: int) -> float:
 
     tokens = spark.read.parquet(path)
     times = []
-    for _ in range(3):
+    for _ in range(runs):
         t0 = time.time()
         _, aggs = full_pipeline(tokens, spark, match_once=True)
         n = aggs.count()
@@ -71,29 +91,137 @@ def run_pipeline_job(spark, path: str, n_rows: int) -> float:
     return statistics.median(times)
 
 
-def _pipeline_only(cores: int) -> None:
+def _pipeline_only(cores: int, runs: int = 3) -> None:
     """Child-process mode: run the pinned pipeline, print one float."""
     from opentelemetry_collector_contrib_spark.session import get_spark
 
     spark = get_spark(master=f"local[{cores}]", shuffle_partitions=cores * 2)
     path = os.path.join(TOKENS_CACHE, f"tokens_{PIPELINE_ROWS}")
-    sec = run_pipeline_job(spark, path, PIPELINE_ROWS)
+    sec = run_pipeline_job(spark, path, PIPELINE_ROWS, runs=runs)
     spark.stop()
     print(f"PIPELINE_SEC={sec:.3f}")
 
 
-def _spawn_pinned(cores: int) -> float:
-    cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(cores)]
+MAX_STEAL = float(os.environ.get("SPARK_GRAFT_MAX_STEAL", "0.04"))
+CONTENTION_WAIT_S = int(os.environ.get("SPARK_GRAFT_CONTENTION_WAIT_S", "600"))
+
+
+def _cpu_totals() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from the aggregate /proc/stat cpu line."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    nums = [int(x) for x in parts[1:]]
+    steal = nums[7] if len(nums) > 7 else 0
+    return sum(nums), steal
+
+
+def _descendants(pid: int) -> set[int]:
+    kids: dict[int, list[int]] = {}
+    for p in os.listdir("/proc"):
+        if not p.isdigit():
+            continue
+        try:
+            with open(f"/proc/{p}/stat") as f:
+                ppid = int(f.read().split(")")[-1].split()[1])
+            kids.setdefault(ppid, []).append(int(p))
+        except (OSError, ValueError, IndexError):
+            continue
+    out, stack = {pid}, [pid]
+    while stack:
+        for c in kids.get(stack.pop(), []):
+            if c not in out:
+                out.add(c)
+                stack.append(c)
+    return out
+
+
+def _foreign_spark_procs() -> list[str]:
+    """JVMs / pyspark daemons alive on the machine that are NOT descendants
+    of this bench process — the round-2 contention source."""
+    own = _descendants(os.getpid())
+    found = []
+    for p in os.listdir("/proc"):
+        if not p.isdigit() or int(p) in own:
+            continue
+        try:
+            with open(f"/proc/{p}/comm") as f:
+                comm = f.read().strip()
+            if comm == "java":
+                found.append(f"{p}:java")
+                continue
+            if comm.startswith("python"):
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read().decode(errors="replace")
+                if "pyspark.daemon" in cmd or "pyspark.worker" in cmd:
+                    found.append(f"{p}:pyspark-worker")
+        except OSError:
+            continue
+    return found
+
+
+def _wait_for_quiet(events: list[str]) -> None:
+    deadline = time.time() + CONTENTION_WAIT_S
+    while True:
+        foreign = _foreign_spark_procs()
+        if not foreign:
+            return
+        if time.time() > deadline:
+            events.append(f"gave_up_waiting_on:{','.join(foreign[:5])}")
+            return
+        events.append(f"waiting_on:{','.join(foreign[:5])}")
+        print(f"bench: waiting for foreign Spark procs: {foreign[:5]}", file=sys.stderr)
+        time.sleep(15)
+
+
+def _spawn_pinned(cores: int, runs: int = 1) -> tuple[float, float]:
+    """One pinned child; returns (seconds, steal_share_during_child)."""
+    cmd = [sys.executable, os.path.abspath(__file__), "--pipeline-only", str(cores), str(runs)]
     if shutil.which("taskset"):
         cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    t0, s0 = _cpu_totals()
     out = subprocess.run(
         cmd, capture_output=True, text=True, timeout=1800,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
+    t1, s1 = _cpu_totals()
+    steal = (s1 - s0) / max(1, t1 - t0)
     for line in out.stdout.splitlines():
         if line.startswith("PIPELINE_SEC="):
-            return float(line.split("=")[1])
+            return float(line.split("=")[1]), steal
     raise RuntimeError(f"pinned run cores={cores} failed: {out.stderr[-2000:]}")
+
+
+def _scaling_matrix(levels: list[int], rounds: int = 3) -> tuple[dict[int, float], dict]:
+    """Interleaved, contention-guarded pinned runs; median seconds per level."""
+    import statistics
+
+    samples: dict[int, list[float]] = {c: [] for c in levels}
+    steals: list[float] = []
+    events: list[str] = []
+    for rnd in range(rounds):
+        for cores in levels:
+            for attempt in range(3):
+                _wait_for_quiet(events)
+                sec, steal = _spawn_pinned(cores, runs=1)
+                if steal <= MAX_STEAL or attempt == 2:
+                    if steal > MAX_STEAL:
+                        events.append(
+                            f"accepted_contaminated:cores={cores},round={rnd},steal={steal:.3f}"
+                        )
+                    samples[cores].append(sec)
+                    steals.append(round(steal, 4))
+                    break
+                events.append(
+                    f"retry:cores={cores},round={rnd},steal={steal:.3f}"
+                )
+    med = {c: statistics.median(v) for c, v in samples.items()}
+    meta = {
+        "samples_sec": {str(c): [round(x, 2) for x in v] for c, v in samples.items()},
+        "steal_share_per_sample": steals,
+        "contention_events": events,
+        "max_steal_gate": MAX_STEAL,
+    }
+    return med, meta
 
 
 def _sf_of(path: str) -> float:
@@ -106,7 +234,8 @@ def _sf_of(path: str) -> float:
 
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--pipeline-only":
-        _pipeline_only(int(sys.argv[2]))
+        runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+        _pipeline_only(int(sys.argv[2]), runs=runs)
         return
 
     from opentelemetry_collector_contrib_spark.driver_queries import REGISTRY
@@ -189,11 +318,9 @@ def main() -> None:
     results["embedding_neardup_1m"] = round(time.time() - t0, 3)
     spark.stop()
 
-    # pinned scaling matrix
-    rates: dict[int, float] = {}
-    for cores in SCALE_LEVELS:
-        sec = _spawn_pinned(cores)
-        rates[cores] = PIPELINE_ROWS / sec / 1e6
+    # pinned scaling matrix — interleaved levels, contention-guarded
+    med_secs, scaling_meta = _scaling_matrix(SCALE_LEVELS, rounds=3)
+    rates = {c: PIPELINE_ROWS / s / 1e6 for c, s in med_secs.items()}
 
     pairs = {}
     for lo, hi in [(2, 8), (4, 16)]:
@@ -213,9 +340,15 @@ def main() -> None:
             "pinned_mrows_per_s": {str(k): round(v, 3) for k, v in rates.items()},
         },
         "scaling": {
-            "method": "same job+input, fresh process pinned to N cores via taskset (N-core executor-fleet analog)",
+            "method": (
+                "same job+input, fresh process pinned to N cores via taskset "
+                "(N-core executor-fleet analog); 3 interleaved rounds per level, "
+                "median; samples re-run on steal-time contamination; waits out "
+                "foreign Spark processes"
+            ),
             "efficiency_pairs_Nx4": pairs,
             "efficiency": headline_eff,
+            **scaling_meta,
         },
     }
     print(json.dumps(out))
