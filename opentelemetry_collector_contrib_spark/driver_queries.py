@@ -529,11 +529,18 @@ def _q_ottl_types(spark: SparkSession, sf_dir: str) -> DataFrame:
             "set(value_is_double, IsDouble(value))",
             "set(value_is_int, IsInt(value))",
             "set(parsed_is_map, IsMap(parsed))",
+            # flatten editor (func_flatten.go): wrap props one level deeper,
+            # parse, flatten with a prefix — nested key k surfaces as f.inner.k
+            'set(nested_json, Concat(["{\\"inner\\":", props, "}"], ""))',
+            "set(deep, ParseJSON(nested_json))",
+            'flatten(deep, "f")',
+            'set(flat_k, deep["f.inner.k"])',
         ],
     )
     return out.select(
         "event_id", "kv", "n_props", "props_len",
         "props_is_string", "value_is_double", "value_is_int", "parsed_is_map",
+        "flat_k",
     )
 
 
@@ -545,7 +552,8 @@ SELECT event_id,
        props IS NOT NULL AS props_is_string,
        value IS NOT NULL AS value_is_double,
        FALSE AS value_is_int,
-       props IS NOT NULL AS parsed_is_map
+       props IS NOT NULL AS parsed_is_map,
+       json_extract_string(props, '$.k') AS flat_k
 FROM events
 """
 
@@ -868,24 +876,43 @@ FROM seg GROUP BY source, seg_id
 """
 
 
-def _q_recombine_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """is_last_entry mode THROUGH the skew-safe two-level prefix-sum path
-    (skew_chunk): the checked query is the segmentation that survives a
-    45 %-hot source key — per-chunk boundary counts roll up in a tiny
-    window, bounded chunks segment independently. Output is provably equal
-    to the single-window form (asserted in tests/test_processors.py)."""
-    from .operators.recombine import recombine
-
+def _marked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    marked = docs.withColumn(
+    return docs.withColumn(
         "line",
         F.concat(
             F.col("text"),
             F.when(F.col("doc_id") % 5 == 4, F.lit(" END")).otherwise(F.lit("")),
         ),
     )
+
+
+def _q_recombine_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """is_last_entry mode, single-window exclusive prefix sum — the same
+    1-shuffle shape as `recombine` (the window's hash(source) exchange also
+    satisfies the final groupBy's clustering, so assembly adds no exchange).
+    The skew-safe two-level variant is checked separately
+    (`recombine_skew`)."""
+    from .operators.recombine import recombine
+
     out = recombine(
-        marked, "source", "doc_id", "line",
+        _marked_docs(spark, sf_dir), "source", "doc_id", "line",
+        is_last_regex=r"END$", combine_with=" ",
+    )
+    return out.select("source", "segment_id", "n_lines", "combined")
+
+
+def _q_recombine_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME segmentation through the skew-safe two-level prefix-sum path
+    (skew_chunk): per-chunk boundary counts roll up in a tiny window,
+    bounded chunks segment independently, so no task ever sorts more than
+    ~chunk rows of a hot source (the generator's 45 % src-hot hazard). Costs
+    two extra small exchanges vs the single-window form — that is the skew
+    trade, bought deliberately; value-identical output (same oracle)."""
+    from .operators.recombine import recombine
+
+    out = recombine(
+        _marked_docs(spark, sf_dir), "source", "doc_id", "line",
         is_last_regex=r"END$", combine_with=" ", skew_chunk=64,
     )
     return out.select("source", "segment_id", "n_lines", "combined")
@@ -1135,32 +1162,175 @@ WHERE qdot > 0 AND qdot*qdot*25 >= qn_a*qn_b*4
 _SQL_EMB_NEARDUP = _emb_neardup_sql()
 
 
+_IVF_CELLS, _IVF_SEED, _IVF_NPROBE = 8, 7, 2
+_LSHQ_PLANES, _LSHQ_SEED, _LSHQ_TABLES = 4, 11, 2
+
+
+def _ivf_centroids_q() -> list[list[int]]:
+    from .operators.similarity import quantized_hyperplanes
+
+    return quantized_hyperplanes(64, _IVF_CELLS, seed=_IVF_SEED)
+
+
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate nearest neighbors (rows-only check: the coarse
-    quantizer trains on a float k-means sample, so scores are not
-    SQL-reproducible; determinism comes from fixed seeds and id tie-breaks).
-    Plan: candidates shuffle once by cell, query probes broadcast."""
-    from .operators.similarity import ivf_topk, train_ivf_centroids
+    """IVF approximate nearest neighbors, value-checked end to end: INTEGER
+    coarse-quantizer centroids (fixed seeded vectors — quantizer quality is
+    covered by the pytest n_probe=K ≡ brute-force equivalence on the
+    k-means path), integer-exact cell argmax, candidates shuffle once by
+    cell, query probes broadcast, integer-qdot re-rank. The DuckDB oracle
+    re-derives cells/probes/ranks from a VALUES table of the same
+    centroids (`ivf_topk_quantized` docstring has the determinism
+    argument)."""
+    from .operators.similarity import ivf_topk_quantized
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    cents = train_ivf_centroids(emb, k=8, sample_rows=2000, iters=5, seed=7)
     qs = emb.filter(F.col("vec_id") < 5)
-    return ivf_topk(emb, qs, cents, k=10, n_probe=2).select(
-        "query_id", "vec_id", "rank"
-    )
+    return ivf_topk_quantized(
+        emb, qs, _ivf_centroids_q(), k=10, n_probe=_IVF_NPROBE
+    ).select("query_id", "vec_id", "qdot", F.col("rank").cast("int").alias("rank"), "cell")
+
+
+def _ivf_topk_sql() -> str:
+    import math
+
+    rows = []
+    for c, row in enumerate(_ivf_centroids_q()):
+        norm = repr(math.sqrt(sum(v * v for v in row)))
+        rows.append(f"({c}, {row}::BIGINT[], {norm})")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), cents(cell, cv, cnorm) AS (
+  VALUES {values}
+), cell_scores AS (
+  SELECT q.vec_id, c.cell,
+         CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i])) AS BIGINT) AS DOUBLE) / c.cnorm AS s,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i])) AS BIGINT) AS DOUBLE) / c.cnorm DESC, c.cell) AS rn
+  FROM q CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id, cell FROM cell_scores WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM cell_scores
+  WHERE vec_id < 5 AND rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id, a.cell
+  FROM assign a JOIN probes p ON a.cell = p.cell AND a.vec_id != p.query_id
+), scored AS (
+  SELECT cand.query_id, cand.vec_id, cand.cell,
+         CAST(list_sum(list_transform(range(1, 65), i -> cq.qe[i] * qq.qe[i])) AS BIGINT) AS qdot
+  FROM cand
+  JOIN q cq ON cq.vec_id = cand.vec_id
+  JOIN q qq ON qq.vec_id = cand.query_id
+), ranked AS (
+  SELECT query_id, vec_id, qdot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INT) AS rank,
+         cell
+  FROM scored
+)
+SELECT query_id, vec_id, qdot, rank, cell FROM ranked WHERE rank <= 10
+"""
+
+
+_SQL_IVF_TOPK = _ivf_topk_sql()
 
 
 def _q_lsh_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH top-k (rows-only check — float cosine
-    re-rank): 2 independent tables of 6 planes, union of bucket joins,
-    dedup before the re-rank window."""
-    from .operators.similarity import lsh_topk
+    """Multi-table hyperplane-LSH top-k, value-checked end to end: 2
+    independent QUANTIZED plane tables (seed 11/12), per-table bucket
+    equi-join, cross-table dedup, integer-qdot re-rank. Same physical plan
+    as the float path (explode tables → one bucket-keyed shuffle, query
+    side broadcast); the oracle re-derives both tables' buckets from the
+    inlined integer planes."""
+    from .operators.similarity import lsh_topk_quantized
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qs = emb.filter(F.col("vec_id") < 5)
-    return lsh_topk(
-        emb, qs, k=10, dim=64, num_planes=6, seed=11, num_tables=2
-    ).select("query_id", "vec_id", "rank")
+    return lsh_topk_quantized(
+        emb, qs, k=10, dim=64,
+        num_planes=_LSHQ_PLANES, seed=_LSHQ_SEED, num_tables=_LSHQ_TABLES,
+    ).select("query_id", "vec_id", "qdot", F.col("rank").cast("int").alias("rank"))
+
+
+def _lsh_topk_multi_sql() -> str:
+    from .operators.similarity import quantized_hyperplanes
+
+    table_selects = []
+    for t in range(_LSHQ_TABLES):
+        planes = quantized_hyperplanes(64, _LSHQ_PLANES, seed=_LSHQ_SEED + t)
+        bits = " + ".join(
+            f"(CASE WHEN list_sum(list_transform(range(1, 65), i -> qe[i] * ({plane}::BIGINT[])[i])) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        table_selects.append(f"SELECT vec_id, qe, {t} AS tbl, ({bits}) AS bucket FROM q")
+    tb = "\n  UNION ALL\n  ".join(table_selects)
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), tb AS (
+  {tb}
+), cand AS (
+  SELECT DISTINCT qt.vec_id AS query_id, ct.vec_id AS vec_id,
+         CAST(list_sum(list_transform(range(1, 65), i -> ct.qe[i] * qt.qe[i])) AS BIGINT) AS qdot
+  FROM tb ct JOIN tb qt ON ct.tbl = qt.tbl AND ct.bucket = qt.bucket
+  WHERE qt.vec_id < 5 AND ct.vec_id != qt.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, qdot,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qdot DESC, vec_id) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, qdot, rank FROM ranked WHERE rank <= 10
+"""
+
+
+_SQL_LSH_TOPK_MULTI = _lsh_topk_multi_sql()
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL-codec round-trip with a full value oracle: token-
+    derived PGM images / WAV audio encoded AND decoded inside mapInPandas
+    (operators/multimodal.media_features_from_tokens), integer stats of the
+    decoded pixel/sample domain. The oracle re-derives every stat from the
+    tokens alone — the decode path is correct iff the round-trip is the
+    identity (weighted sums pin order/offset)."""
+    from .operators.multimodal import media_features_from_tokens
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return media_features_from_tokens(toks).select(
+        "media_id", "kind", "width", "height", "sample_rate",
+        "duration_ms", "pix_sum", "pix_wsum", "samp_sum", "samp_wsum",
+    )
+
+
+_SQL_MEDIA_FEATURES = _SQL_BASE + """
+, img AS (
+  SELECT doc_id AS media_id, 'image' AS kind, 8 AS width, 8 AS height,
+         CAST(NULL AS INT) AS sample_rate, CAST(NULL AS INT) AS duration_ms,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> CASE WHEN j <= len(tokens) THEN tokens[j] % 256 ELSE 0 END)) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> CASE WHEN j <= len(tokens) THEN (tokens[j] % 256) * j ELSE 0 END)) AS BIGINT) AS pix_wsum,
+         CAST(NULL AS BIGINT) AS samp_sum, CAST(NULL AS BIGINT) AS samp_wsum
+  FROM base WHERE doc_id % 2 = 0
+), aud AS (
+  SELECT doc_id AS media_id, 'audio' AS kind, CAST(NULL AS INT) AS width,
+         CAST(NULL AS INT) AS height, 8000 AS sample_rate,
+         CAST(len(tokens) // 8 AS INT) AS duration_ms,
+         CAST(NULL AS BIGINT) AS pix_sum, CAST(NULL AS BIGINT) AS pix_wsum,
+         CAST(COALESCE(list_sum(list_transform(tokens, x -> (x*37) % 20000 - 10000)), 0) AS BIGINT) AS samp_sum,
+         CAST(COALESCE(list_sum(list_transform(range(1, len(tokens)+1),
+           j -> ((tokens[j]*37) % 20000 - 10000) * j)), 0) AS BIGINT) AS samp_wsum
+  FROM base WHERE doc_id % 2 = 1
+)
+SELECT * FROM img UNION ALL SELECT * FROM aud
+"""
 
 
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1177,9 +1347,17 @@ def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             'set(value_cents, Int(value * 100.0))',
             'set(upper_type, ConvertCase(event_type, "upper"))',
             'set(h, SHA256(event_type))',
+            # enum literals (grammar.go:238 / ottllog log.go:111-136):
+            # assign via enum, compare via enum
+            'set(sevnum, SEVERITY_NUMBER_ERROR) where event_type == "error"',
+            'set(sevnum, SEVERITY_NUMBER_INFO) where not (event_type == "error")',
+            'set(is_warnish, true) where sevnum >= SEVERITY_NUMBER_WARN',
+            'set(is_warnish, false) where sevnum < SEVERITY_NUMBER_WARN',
         ],
     )
-    return out.select("event_id", "sev", "value_cents", "upper_type", "h")
+    return out.select(
+        "event_id", "sev", "value_cents", "upper_type", "h", "sevnum", "is_warnish"
+    )
 
 
 _SQL_OTTL_TRANSFORM = """
@@ -1187,7 +1365,9 @@ SELECT event_id,
        CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS sev,
        CAST(trunc(value * 100.0) AS BIGINT) AS value_cents,
        upper(event_type) AS upper_type,
-       sha256(event_type) AS h
+       sha256(event_type) AS h,
+       CAST(CASE WHEN event_type = 'error' THEN 17 ELSE 9 END AS BIGINT) AS sevnum,
+       CASE WHEN event_type = 'error' THEN 17 ELSE 9 END >= 13 AS is_warnish
 FROM events
 """
 
@@ -1515,6 +1695,7 @@ REGISTRY: list[Query] = [
     Query("simhash", _q_simhash, _SQL_SIMHASH),
     Query("recombine", _q_recombine, _SQL_RECOMBINE),
     Query("recombine_last", _q_recombine_last, _SQL_RECOMBINE_LAST),
+    Query("recombine_skew", _q_recombine_skew, _SQL_RECOMBINE_LAST),
     Query("simhash_near", _q_simhash_near, _SQL_SIMHASH_NEAR),
     Query("ottl_types", _q_ottl_types, _SQL_OTTL_TYPES),
     Query("syslog_parse", _q_syslog_parse, _SQL_SYSLOG),
@@ -1525,8 +1706,9 @@ REGISTRY: list[Query] = [
     Query("langid", _q_langid, _langid_sql()),
     Query("fingerprint", _q_fingerprint, _SQL_FINGERPRINT),
     Query("embedding_topk", _q_embedding_topk, _SQL_EMB_TOPK),
-    Query("ivf_topk", _q_ivf_topk, None),
-    Query("lsh_topk_multi", _q_lsh_topk_multi, None),
+    Query("ivf_topk", _q_ivf_topk, _SQL_IVF_TOPK),
+    Query("lsh_topk_multi", _q_lsh_topk_multi, _SQL_LSH_TOPK_MULTI),
+    Query("media_features", _q_media_features, _SQL_MEDIA_FEATURES),
     Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
     Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),

@@ -43,6 +43,7 @@ def exact_dedup(
     id_col: str,
     method: str = "sha256",
     eager: bool = True,
+    broadcast_max_ids: int = 10_000_000,
 ) -> DataFrame:
     """Keep the min-id row per identical content. The shuffle carries only
     (content-hash, id): at 100 TB the payload never moves.
@@ -50,7 +51,15 @@ def exact_dedup(
     method='sha256'    : cryptographic, adversarial-safe (string render cost)
     method='xxhash128' : two independent xxhash64 over the raw columns —
       ~30 % faster at corpus scale, collision bound n²/2¹²⁹ (≪1 even at
-      10¹² rows), appropriate for non-adversarial dedup."""
+      10¹² rows), appropriate for non-adversarial dedup.
+
+    Cluster caveats for eager=True: localCheckpoint blocks live only on
+    executors — an executor loss after the checkpoint fails the job instead
+    of recomputing (use reliable checkpoint()/a stored dup-id table for
+    long multi-stage cluster runs), and the explicit broadcast puts up to
+    `broadcast_max_ids` rows on the driver (~16 B/id; lower it if driver
+    memory is tight — oversized dup sets degrade gracefully to the
+    one-payload-shuffle sort-merge join, the floor for that regime)."""
     if method == "sha256":
         h = F.sha2(
             F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256
@@ -89,7 +98,7 @@ def exact_dedup(
         # huge dup sets degrade gracefully to the one-payload-shuffle SMJ,
         # which is the floor for that regime.
         dup_ids = dup_ids.localCheckpoint(eager=True)
-        if dup_ids.count() <= 10_000_000:
+        if dup_ids.count() <= broadcast_max_ids:
             dup_ids = F.broadcast(dup_ids)
     return df.join(dup_ids, on=id_col, how="left_anti")
 

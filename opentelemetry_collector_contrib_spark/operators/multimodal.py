@@ -132,7 +132,11 @@ def decode_netpbm(payload: bytes) -> np.ndarray:
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         tokens.append(int(payload[start:pos]))
-    w, h, _maxval = tokens
+    w, h, maxval = tokens
+    if maxval > 255:
+        # a 16-bit PGM/PPM is valid netpbm but 2 bytes/sample — decoding it
+        # as uint8 would silently garble the raster
+        raise ValueError(f"netpbm maxval {maxval} > 255 (16-bit) not supported")
     channels = 3 if magic in ("P3", "P6") else 1
     if magic in ("P5", "P6"):
         pos += 1  # single whitespace after maxval
@@ -261,6 +265,66 @@ def synthetic_real_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+MEDIA_STATS_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "duration_ms int, pix_sum long, pix_wsum long, samp_sum long, samp_wsum long"
+)
+
+
+def media_features_from_tokens(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Oracle-checkable distributed codec round-trip: build GENUINE media
+    bytes from each document's tokens (even ids → 8×8 binary PGM whose
+    pixels are token%256; odd ids → 8 kHz PCM WAV whose int16 samples are
+    (token*37)%20000-10000), push them through the REAL encoders+decoders
+    (encode_pgm/decode_netpbm, encode_wav/decode_wav) inside mapInPandas,
+    and emit integer stats of the DECODED domain. Every output is an exact
+    integer a SQL engine can re-derive from the tokens alone — int16→f32/
+    32768 is exact (values < 2²⁴, power-of-two scale), so round(x*32768)
+    recovers the samples bit-exactly. Weighted sums catch order/offset
+    decode bugs a plain sum would miss."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, toks in zip(pdf[id_col], pdf[tokens_col]):
+                mid = int(mid)
+                t = np.asarray(toks, dtype=np.int64)
+                if mid % 2 == 0:
+                    pix = np.zeros(64, dtype=np.uint8)
+                    m = min(64, len(t))
+                    pix[:m] = (t[:m] % 256).astype(np.uint8)
+                    img = decode_netpbm(encode_pgm(pix.reshape(8, 8)))
+                    flat = img.reshape(-1).astype(np.int64)
+                    rows.append(dict(
+                        media_id=mid, kind="image",
+                        width=img.shape[1], height=img.shape[0],
+                        sample_rate=None, duration_ms=None,
+                        pix_sum=int(flat.sum()),
+                        pix_wsum=int((flat * np.arange(1, 65)).sum()),
+                        samp_sum=None, samp_wsum=None,
+                    ))
+                else:
+                    s = ((t * 37) % 20000 - 10000).astype(np.int16)
+                    dec, rate = decode_wav(encode_wav(s, 8000))
+                    ints = np.round(dec.astype(np.float64) * 32768.0).astype(np.int64)
+                    rows.append(dict(
+                        media_id=mid, kind="audio", width=None, height=None,
+                        sample_rate=rate,
+                        duration_ms=int(len(ints) * 1000 / rate),
+                        pix_sum=None, pix_wsum=None,
+                        samp_sum=int(ints.sum()),
+                        samp_wsum=int((ints * np.arange(1, len(ints) + 1)).sum()),
+                    ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "kind", "width", "height", "sample_rate",
+                "duration_ms", "pix_sum", "pix_wsum", "samp_sum", "samp_wsum",
+            ])
+
+    return df.mapInPandas(gen, MEDIA_STATS_SCHEMA)
 
 
 def decode_and_featurize(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -228,21 +228,41 @@ def uri_parser(df: DataFrame, parse_from: str, prefix: str = "uri_") -> DataFram
 # layout_type; Go layouts are the collector's native flavor).
 _GOTIME_TABLE = [
     ("2006", "yyyy"), ("January", "MMMM"), ("Jan", "MMM"), ("Monday", "EEEE"),
-    ("Mon", "EEE"), ("15", "HH"), ("01", "MM"), ("02", "dd"), ("03", "hh"),
-    ("04", "mm"), ("05", "ss"), ("06", "yy"), (".000000000", ".SSSSSSSSS"),
-    (".000000", ".SSSSSS"), (".000", ".SSS"), ("PM", "a"), ("pm", "a"),
+    ("Mon", "EEE"), ("15", "HH"), ("002", "DDD"), ("01", "MM"), ("02", "dd"),
+    ("03", "hh"), ("04", "mm"), ("05", "ss"), ("06", "yy"),
+    (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+    ("PM", "a"),
     ("Z07:00", "XXX"), ("Z0700", "XX"), ("-07:00", "xxx"), ("-0700", "xx"),
     ("MST", "zz"), ("1", "M"), ("2", "d"), ("3", "h"), ("4", "m"), ("5", "s"),
 ]
+
+# Go directives with no Spark-datetime equivalent: rejecting loudly beats a
+# silent null parse (on_error='send' would otherwise swallow it).
+_GOTIME_UNSUPPORTED = {
+    "__2": "space-padded day-of-year",
+    "_2": "space-padded day ('Jan _2' syslog layout)",
+    "pm": "lowercase am/pm marker (Spark 'a' matches uppercase only)",
+}
 
 
 def gotime_to_spark(layout: str) -> str:
     """'2006-01-02 15:04:05' → 'yyyy-MM-dd HH:mm:ss' (greedy left-to-right,
     longest component first). Unrecognized LETTERS are single-quoted — Spark
     treats bare letters as pattern chars, so the 'T' in an ISO layout must
-    become 'T'; punctuation/digits pass through bare."""
+    become 'T'; punctuation/digits pass through bare.
+
+    Go's space-padded directives (`_2`, `__2`) and lowercase `pm` have no
+    Spark pattern equivalent and raise ValueError — normalize the input
+    instead (``regexp_replace(col, '  +', ' ')`` + layout '2'; ``upper()``
+    + layout 'PM'). `002` (day-of-year) maps to 'DDD'."""
     out, i = [], 0
     while i < len(layout):
+        for go, why in _GOTIME_UNSUPPORTED.items():
+            if layout.startswith(go, i):
+                raise ValueError(
+                    f"gotime directive {go!r} ({why}) is not representable as a "
+                    f"Spark datetime pattern; normalize the input column instead"
+                )
         for go, spark in _GOTIME_TABLE:
             if layout.startswith(go, i):
                 out.append(spark)

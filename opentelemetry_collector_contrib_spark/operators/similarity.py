@@ -395,6 +395,158 @@ def embedding_near_dups_quantized(
     )
 
 
+def lsh_topk_quantized(
+    candidates: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 10,
+    num_planes: int = 4,
+    seed: int = 42,
+    num_tables: int = 2,
+) -> DataFrame:
+    """Multi-table LSH top-k, integer-exact twin of ``lsh_topk``: quantized
+    hyperplane buckets per table (independent plane set per table, seed+t),
+    per-table bucket equi-join, cross-table dedup, re-rank by the quantized
+    integer dot (metric='qdot' of ``brute_force_topk``). Every number that
+    crosses an engine boundary is an int64, so a SQL oracle reproduces the
+    exact result from the same inlined plane constants (the
+    ``embedding_neardup`` recipe applied to top-k).
+
+    Physical shape is unchanged from the float path: candidates explode to
+    (table, bucket) and shuffle once on that key; the (small) query side
+    broadcasts — flip to a shuffle join if queries become a corpus."""
+
+    def keyed(df, id_alias, qe_name):
+        out = df.select(
+            F.col(id_col).alias(id_alias), _quantize(F.col(vec_col)).alias(qe_name)
+        )
+        tables = []
+        for t in range(num_tables):
+            planes = quantized_hyperplanes(dim, num_planes, seed + t)
+            b = F.lit(0)
+            for p, row in enumerate(planes):
+                arr = F.array(*[F.lit(v).cast("long") for v in row])
+                dot = F.aggregate(
+                    F.zip_with(F.col(qe_name), arr, lambda a, c: a * c),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                b = b + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            tables.append(F.struct(F.lit(t).alias("tbl"), b.cast("int").alias("b")))
+        out = out.withColumn("__tb", F.explode(F.array(*tables)))
+        return out.select(
+            id_alias, qe_name,
+            F.col("__tb.tbl").alias("tbl"), F.col("__tb.b").alias("bucket"),
+        )
+
+    cb = keyed(candidates, id_col, "__qe")
+    qb = keyed(queries, "query_id", "__qv")
+    joined = (
+        cb.join(F.broadcast(qb), on=["tbl", "bucket"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("__qe"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.withColumn("qdot", qdot)
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "qdot", "rank")
+    )
+
+
+def _cell_scores(qe_col: Column, centroids_q: list[list[int]]) -> list[Column]:
+    """Per-centroid quantized-cosine score: int64 dot / python-float ‖c‖.
+    The norm is a compile-time double literal, so a SQL oracle inlining the
+    SAME repr() literal performs the bit-identical IEEE division."""
+    import math
+
+    out = []
+    for row in centroids_q:
+        arr = F.array(*[F.lit(v).cast("long") for v in row])
+        qd = F.aggregate(
+            F.zip_with(qe_col, arr, lambda a, c: a * c),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        out.append(qd.cast("double") / F.lit(math.sqrt(sum(v * v for v in row))))
+    return out
+
+
+def ivf_topk_quantized(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids_q: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k with an INTEGER coarse quantizer — the oracle-checkable
+    twin of ``ivf_topk``. Cell assignment maximizes qdot(qe, c)/‖c‖ (the
+    query-side norm is constant within a row's argmax, so this IS cosine
+    argmax); ties take the smaller cell id. Candidates key on their one
+    argmax cell and shuffle once; each query probes its n_probe best cells
+    (explode) and re-ranks by integer qdot. Every cross-engine value is an
+    int64 or a deterministic double of int64s, so DuckDB reproduces the
+    result from a VALUES table of the same centroids
+    (k-means-trained float centroids stay available via ``ivf_topk``; the
+    pytest n_probe=K ≡ brute-force equivalence covers quantizer quality).
+
+    Tie hazard, documented: two distinct cells give equal double scores
+    only if qdot_i·‖c_j‖ == qdot_j·‖c_i‖ to 53 bits — both engines then
+    break by cell id identically."""
+    n_probe = min(n_probe, len(centroids_q))
+
+    def scored_cells(df, id_alias, qe_name):
+        out = df.select(
+            F.col(id_col).alias(id_alias), _quantize(F.col(vec_col)).alias(qe_name)
+        )
+        cells = [
+            F.struct(s.alias("s"), F.lit(-c).alias("nc"))
+            for c, s in enumerate(_cell_scores(F.col(qe_name), centroids_q))
+        ]
+        # array_sort asc on (s, nc), reversed → s desc, then nc desc = cell asc
+        return out.withColumn(
+            "__order", F.reverse(F.array_sort(F.array(*cells)))
+        )
+
+    cb = scored_cells(candidates, id_col, "__qe").select(
+        id_col, "__qe", (-F.col("__order")[0].nc).alias("cell")
+    )
+    qb = (
+        scored_cells(queries, "query_id", "__qv")
+        .select(
+            "query_id", "__qv",
+            F.explode(
+                F.transform(F.slice("__order", 1, n_probe), lambda x: -x.nc)
+            ).alias("cell"),
+        )
+    )
+    joined = cb.join(F.broadcast(qb), on="cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("__qe"), F.col("__qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.withColumn("qdot", qdot)
+    w = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "qdot", "rank", "cell")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -24,9 +24,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .parser import (
-    And, BinOp, Call, Comparison, ListExpr, Literal, Not, Or, Path,
+    And, BinOp, Call, Comparison, Enum, ListExpr, Literal, Not, Or, Path,
     Statement, parse_condition, parse_statement,
 )
+
+# Log-context enum symbols (contexts/ottllog/log.go:111-136): the OTLP
+# severity-number scale — UNSPECIFIED=0, then TRACE..FATAL in blocks of 4.
+ENUM_SYMBOLS: dict[str, int] = {"SEVERITY_NUMBER_UNSPECIFIED": 0}
+for _i, _lvl in enumerate(("TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL")):
+    for _j in range(4):
+        _suffix = "" if _j == 0 else str(_j + 1)
+        ENUM_SYMBOLS[f"SEVERITY_NUMBER_{_lvl}{_suffix}"] = 1 + _i * 4 + _j
 
 
 # ------------------------------------------------------------------ context
@@ -358,6 +366,8 @@ class Compiler:
             return None
         if isinstance(node, ListExpr):
             return T.ArrayType(T.StringType())
+        if isinstance(node, Enum):
+            return T.LongType()
         if isinstance(node, Path):
             return self._path_type(node)
         return None
@@ -394,6 +404,13 @@ class Compiler:
     def value(self, node):
         if isinstance(node, Literal):
             return node.value
+        if isinstance(node, Enum):
+            try:
+                return ENUM_SYMBOLS[node.symbol]
+            except KeyError:
+                raise ValueError(
+                    f"enum symbol not found in log context: {node.symbol!r}"
+                ) from None
         if isinstance(node, ListExpr):
             return [self.value(i) for i in node.items]
         if isinstance(node, Path):
@@ -596,10 +613,72 @@ class Compiler:
             return guarded(col_name, new)
 
         if name == "flatten":
-            # flatten(attributes) — our maps are single-level already; no-op
-            return df
+            # func_flatten.go: flatten(target, prefix="", depth=unlimited).
+            # The record schema keeps attributes as map<string,string>, so a
+            # "nested map" is the JSON-object residue string ParseJSON leaves
+            # for non-scalar values. Each flatten level parses those one
+            # level deeper and splices the children in as dotted keys
+            # (a.b → "a.b"); JSON arrays splice as key.<index>
+            # (func_flatten.go:74-77). The reference's unlimited default
+            # depth becomes a bounded expression unroll (default/max 4
+            # levels — each level duplicates the from_json subtree); the
+            # reference leaves map-typed SLICE elements verbatim while a
+            # later level here may expand them (documented divergence).
+            target = ed.args[0]
+            prefix = _lit_str(self.value(ed.args[1])) if len(ed.args) > 1 else ""
+            depth = _lit_int(self.value(ed.args[2])) if len(ed.args) > 2 else 4
+            if depth < 0:
+                raise ValueError(f"flatten: depth {depth} cannot be negative")
+            col_name, _ = self.ctx.target(target)
+            new = F.col(col_name)
+            for _ in range(min(depth, 4)):
+                new = _flatten_level(new)
+            if prefix:
+                new = F.map_from_entries(
+                    F.transform(
+                        F.map_entries(new),
+                        lambda e: F.struct(
+                            F.concat(F.lit(prefix + "."), e.key).alias("key"),
+                            e.value.alias("value"),
+                        ),
+                    )
+                )
+            return guarded(col_name, new)
 
         raise ValueError(f"unknown OTTL editor {name!r}")
+
+
+def _flatten_level(m: Column) -> Column:
+    """One flatten level over map<string,string>: entries whose value is a
+    JSON object become child entries keyed key.childkey; JSON arrays become
+    key.<i>; scalars pass through. Pure expressions — from_json inside the
+    higher-order transform, no Python."""
+
+    def expand(e):
+        sub = F.from_json(e.value, "map<string,string>")
+        arr = F.from_json(e.value, "array<string>")
+        sub_entries = F.transform(
+            F.map_entries(sub),
+            lambda s: F.struct(
+                F.concat(e.key, F.lit("."), s.key).alias("key"),
+                s.value.alias("value"),
+            ),
+        )
+        arr_entries = F.transform(
+            arr,
+            lambda v, i: F.struct(
+                F.concat(e.key, F.lit("."), i.cast("string")).alias("key"),
+                v.alias("value"),
+            ),
+        )
+        single = F.array(F.struct(e.key.alias("key"), e.value.alias("value")))
+        return (
+            F.when(sub.isNotNull(), sub_entries)
+            .when(arr.isNotNull(), arr_entries)
+            .otherwise(single)
+        )
+
+    return F.map_from_entries(F.flatten(F.transform(F.map_entries(m), expand)))
 
 
 def compile_statement(df: DataFrame, text: str, ctx: LogContext | None = None) -> DataFrame:

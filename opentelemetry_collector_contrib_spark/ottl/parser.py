@@ -37,6 +37,15 @@ class Path:
 
 
 @dataclass
+class Enum:
+    """Uppercase enum symbol (grammar.go:238 `@Uppercase (?! Lowercase)`),
+    resolved per context at compile time — e.g. SEVERITY_NUMBER_WARN → 13
+    via the log context's parseEnum (contexts/ottllog/log.go:111-136)."""
+
+    symbol: str
+
+
+@dataclass
 class Call:
     name: str
     args: list
@@ -93,6 +102,8 @@ TOKEN_RE = re.compile(
 )
 
 KEYWORDS = {"where", "and", "or", "not", "true", "false", "nil"}
+
+_ENUM_RE = re.compile(r"[A-Z][A-Z0-9_]*")
 
 
 def tokenize(text: str) -> list[tuple[str, str]]:
@@ -264,6 +275,12 @@ class _Parser:
             # call or path
             if self.toks[self.i + 1] == ("OP", "("):
                 return self.call()
+            # grammar.go:238: an all-uppercase identifier (no lowercase
+            # anywhere — converter names like ParseJSON keep lowercase) is
+            # an enum symbol, not a path
+            if _ENUM_RE.fullmatch(v):
+                self.next()
+                return Enum(v)
             return self.path()
         raise SyntaxError(f"unexpected token {k} {v!r}")
 

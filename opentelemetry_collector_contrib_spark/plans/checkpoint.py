@@ -53,14 +53,19 @@ class CheckpointedRunner:
     # ---------------------------------------------------------------- state
 
     def completed_chunks(self, spark: SparkSession) -> set[str]:
+        # Only "checkpoint dir doesn't exist yet" means "no chunks committed".
+        # routed()/aggregates() filter on this result, so swallowing a real
+        # read error (permissions, storage blip, old-schema dir) would make
+        # readers silently return 0 rows; those must propagate.
         path = f"{self.out_dir}/checkpoint"
-        try:
-            return {
-                r.chunk_id
-                for r in spark.read.parquet(path).select("chunk_id").distinct().collect()
-            }
-        except Exception:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm_path):
             return set()
+        return {
+            r.chunk_id
+            for r in spark.read.parquet(path).select("chunk_id").distinct().collect()
+        }
 
     def _append(self, spark: SparkSession, sub: str, rows: list[dict], schema) -> None:
         spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(

@@ -14,20 +14,39 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
 def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     """One row per line with (file, offset) provenance. The offset is the
-    line ordinal within its file — resume coordinates at dataset granularity."""
-    raw = spark.read.text(path).select(
-        F.col("value").alias("line"),
-        F.input_file_name().alias("file"),
+    line ordinal within its file — resume coordinates at dataset granularity.
+
+    Offsets are STRUCTURAL: each file is read whole (wholetext) and split
+    to lines with posexplode, so the ordinal is exact by construction. The
+    earlier form ordered a per-file window by monotonically_increasing_id,
+    which silently depends on input-split index order — a file spanning
+    multiple splits plus a reader change could scramble multiline framing.
+    One task per file mirrors the reference's contract anyway (a filelog
+    file is consumed by a single reader goroutine, fileconsumer/reader);
+    parallelism comes from many files, and huge single files belong to the
+    streaming reader's chunked path."""
+    raw = (
+        spark.read.text(path, wholetext=True)
+        .select(F.col("value"), F.input_file_name().alias("file"))
+        .filter(F.length(F.col("value")) > 0)  # empty file → no lines
     )
-    w = Window.partitionBy("file").orderBy(F.monotonically_increasing_id())
-    return raw.withColumn("offset", F.row_number().over(w) - 1)
+    arr = F.split(F.col("value"), "\n")
+    # spark.read.text emits no empty trailing line for "a\nb\n" — drop the
+    # split artifact only when the file ends with a newline
+    arr = F.when(
+        (F.size(arr) > 1) & (F.element_at(arr, -1) == ""),
+        F.slice(arr, 1, F.size(arr) - 1),
+    ).otherwise(arr)
+    return raw.select(
+        "file", F.posexplode(arr).alias("offset", "line")
+    ).select("line", "file", "offset")
 
 
 def read_multiline(

@@ -259,3 +259,69 @@ def test_severity_http_range_expansion(spark):
     nums = {r.level: r.n for r in df.select(
         "level", severity_number_col(F.col("level")).alias("n")).collect()}
     assert nums == {"204": 9, "301": 10, "404": 13, "503": 17, "2xx": 9, "warn": 13, "999": 0}
+
+
+def test_enum_literals(df):
+    """grammar.go:238 enum symbols + ottllog parseEnum (log.go:111-136):
+    uppercase symbols resolve to OTLP severity-number ints in both editor
+    args and where-conditions."""
+    out = run(df, "set(severity_number, SEVERITY_NUMBER_ERROR2) where severity_number >= SEVERITY_NUMBER_INFO")
+    assert out["severity_number"] == 18
+    # condition false -> untouched (base row is INFO=9 < WARN=13)
+    out2 = run(df, "set(severity_number, SEVERITY_NUMBER_FATAL) where severity_number >= SEVERITY_NUMBER_WARN")
+    assert out2["severity_number"] == 9
+    # the full 25-symbol table matches the OTLP scale
+    from opentelemetry_collector_contrib_spark.ottl.compiler import ENUM_SYMBOLS
+
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_UNSPECIFIED"] == 0
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_TRACE"] == 1
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_DEBUG4"] == 8
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_INFO"] == 9
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_WARN"] == 13
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_ERROR"] == 17
+    assert ENUM_SYMBOLS["SEVERITY_NUMBER_FATAL4"] == 24
+    assert len(ENUM_SYMBOLS) == 25
+    # unknown symbol errors like the reference's parseEnum
+    with pytest.raises(ValueError, match="enum symbol not found"):
+        compile_statement(df, "set(severity_number, SEVERITY_NUMBER_BOGUS2X)")
+    # mixed-case identifiers still parse as paths/calls, not enums
+    out3 = run(df, 'set(body, ConvertCase(body, "upper"))')
+    assert out3["body"] == "OPERATIONA"
+
+
+def test_flatten_editor(spark):
+    """func_flatten.go semantics over map<string,string> with JSON-object
+    residue values: nested objects -> dotted keys, arrays -> key.<i>,
+    prefix prepends, depth bounds expansion."""
+    sch = T.StructType([
+        T.StructField("body", T.StringType()),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+    ])
+    j = spark.createDataFrame(
+        [("b", {"name": "test", "address": '{"street":"First","house":"1234"}',
+                "occupants": '["user 1","user 2"]'})],
+        sch,
+    )
+    flat = compile_statement(j, "flatten(attributes)").collect()[0].attributes
+    assert flat == {
+        "name": "test",
+        "address.street": "First",
+        "address.house": "1234",
+        "occupants.0": "user 1",
+        "occupants.1": "user 2",
+    }
+    # prefix (func_flatten.go:66-68)
+    pre = compile_statement(j, 'flatten(attributes, "app")').collect()[0].attributes
+    assert pre["app.name"] == "test"
+    assert pre["app.address.street"] == "First"
+    # depth 0 -> untouched; depth 1 over two-level nesting leaves residue
+    two = spark.createDataFrame(
+        [("b", {"a": '{"b":{"c":"x"}}'})], sch)
+    d0 = compile_statement(two, 'flatten(attributes, "", 0)').collect()[0].attributes
+    assert d0 == {"a": '{"b":{"c":"x"}}'}
+    d1 = compile_statement(two, 'flatten(attributes, "", 1)').collect()[0].attributes
+    assert list(d1) == ["a.b"]
+    d2 = compile_statement(two, 'flatten(attributes, "", 2)').collect()[0].attributes
+    assert d2 == {"a.b.c": "x"}
+    with pytest.raises(ValueError, match="negative"):
+        compile_statement(two, 'flatten(attributes, "", -1)')

@@ -157,3 +157,18 @@ def test_ottl_parse_xml_converter(spark):
     df = spark.createDataFrame([("<e><v>42</v></e>",)], "body string")
     got = compile_statement(df, 'set(parsed, ParseXML(body, "v int"))').collect()[0]
     assert got.parsed.v == 42
+
+
+def test_gotime_unsupported_directives():
+    """operator/helper/time.go gotime layouts: space-padded _2/__2 and
+    lowercase pm have no Spark pattern equivalent -> loud ValueError, not a
+    silent null parse; 002 (day-of-year) maps to DDD."""
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.operators.parse import gotime_to_spark
+
+    for bad in ("Jan _2 15:04:05", "__2 15:04", "3:04pm"):
+        with pytest.raises(ValueError, match="not representable"):
+            gotime_to_spark(bad)
+    assert gotime_to_spark("2006-002") == "yyyy-DDD"
+    assert gotime_to_spark("3:04PM") == "h:mma"

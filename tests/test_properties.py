@@ -155,3 +155,15 @@ def test_simhash_banding_pigeonhole(fps, k):
         for b in fps[i + 1:]:
             if bin(a ^ b).count("1") <= k:
                 assert any(x == y for x, y in zip(slice_vals(a), slice_vals(b)))
+
+
+def test_netpbm_16bit_rejected():
+    """A valid 16-bit PGM (maxval 65535) must fail loudly instead of being
+    silently misdecoded as uint8."""
+    import pytest
+
+    from opentelemetry_collector_contrib_spark.operators.multimodal import decode_netpbm
+
+    payload = b"P5\n2 2\n65535\n" + bytes(8)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_netpbm(payload)

@@ -98,3 +98,25 @@ def test_read_otlp_json(spark, otlp_file):
     assert r.scope_name == "lib"
     assert str(r.ts).startswith("2024-01-01")
     assert rows[1].body == "boom" and rows[1].severity_number == 17
+
+
+def test_read_log_lines_structural_offsets(spark, tmp_path_factory):
+    """Offsets are structural (wholetext + posexplode), not an artifact of
+    input-split ordering: a many-line file keeps exact line ordinals, a
+    trailing newline adds no phantom line, an empty file yields no rows,
+    and a file ending without a newline keeps its last line."""
+    d = tmp_path_factory.mktemp("biglogs")
+    n = 50_000
+    (d / "big.log").write_text("\n".join(f"line-{i:06d}" for i in range(n)) + "\n")
+    (d / "empty.log").write_text("")
+    (d / "nonl.log").write_text("a\nb")  # no trailing newline
+    df = read_log_lines(spark, str(d))
+    rows = df.collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.offset, r.line))
+    assert "empty.log" not in by_file
+    assert sorted(by_file["nonl.log"]) == [(0, "a"), (1, "b")]
+    big = sorted(by_file["big.log"])
+    assert len(big) == n
+    assert all(line == f"line-{off:06d}" for off, line in big)
