@@ -223,3 +223,156 @@ def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
         .option("port", str(port))
         .load()
     )
+
+
+def udp_spool_listener(
+    host: str, port: int, spool_dir: str, flush_every: int = 50
+):
+    """udplog receiver analog (`receiver/udplogreceiver`, engine
+    `pkg/stanza/operator/input/udp/input.go`: one datagram = one entry,
+    trailing newline trimmed, no framing). Spark has no UDP source, so the
+    receive half is a tiny spool bridge: a daemon thread reads datagrams
+    and appends them to files in `spool_dir`; `stream_udp_lines` (or any
+    file/stream reader) consumes the spool. The datagram→durable-spool hop
+    is exactly what the reference's udp input does into its pipeline
+    channel — here the channel is files so Spark's checkpointed file
+    source provides the delivery guarantees.
+
+    Returns (socket, stop): call stop() to flush and close. Files are
+    written whole-then-renamed so the streaming reader never sees a
+    partial file."""
+    import os
+    import socket
+    import threading
+    import uuid
+
+    os.makedirs(spool_dir, exist_ok=True)
+    sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    sock.bind((host, port))
+    sock.settimeout(0.2)
+    stopped = threading.Event()
+    buf: list[str] = []
+
+    def flush():
+        if not buf:
+            return
+        name = f"udp-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(spool_dir, "." + name)
+        with open(tmp, "w") as f:
+            f.write("\n".join(buf) + "\n")
+        os.rename(tmp, os.path.join(spool_dir, name))
+        buf.clear()
+
+    def run():
+        while not stopped.is_set():
+            try:
+                data, _ = sock.recvfrom(65535)
+            except socket.timeout:
+                flush()
+                continue
+            except OSError:
+                break
+            # input/udp/input.go trims ONE trailing newline; embedded
+            # newlines stay (message-oriented, no splitting)
+            buf.append(data.decode("utf-8", "replace").removesuffix("\n"))
+            if len(buf) >= flush_every:
+                flush()
+        flush()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def stop():
+        stopped.set()
+        t.join(timeout=5)
+        sock.close()
+
+    return sock, stop
+
+
+def stream_udp_lines(spark: SparkSession, spool_dir: str) -> DataFrame:
+    """Unbounded ``value: string`` stream over a UDP spool directory —
+    pair with ``udp_spool_listener``; pipe through syslog_parser /
+    regex_parser exactly like the TCP and file sources."""
+    return (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", "16")
+        .load(spool_dir)
+        .select(F.col("value"))
+    )
+
+
+def pipe_spool_listener(fifo_path: str, spool_dir: str, flush_every: int = 200):
+    """namedpipe receiver analog (`receiver/namedpipereceiver`, engine
+    `pkg/stanza/operator/input/namedpipe`: create/open a FIFO, read
+    newline-delimited entries). Same spool bridge as UDP: a daemon thread
+    tails the FIFO and lands whole files for the checkpointed file source.
+    Creates the FIFO if absent. Returns stop()."""
+    import os
+    import threading
+    import uuid
+
+    os.makedirs(spool_dir, exist_ok=True)
+    if not os.path.exists(fifo_path):
+        os.mkfifo(fifo_path)
+    stopped = threading.Event()
+    buf: list[str] = []
+
+    def flush():
+        if not buf:
+            return
+        name = f"pipe-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(spool_dir, "." + name)
+        with open(tmp, "w") as f:
+            f.write("\n".join(buf) + "\n")
+        os.rename(tmp, os.path.join(spool_dir, name))
+        buf.clear()
+
+    def run():
+        # opening read-only blocks until a writer appears; O_NONBLOCK lets
+        # the stop flag win
+        fd = os.open(fifo_path, os.O_RDONLY | os.O_NONBLOCK)
+        partial = b""
+        try:
+            while not stopped.is_set():
+                try:
+                    chunk = os.read(fd, 65536)
+                except BlockingIOError:
+                    chunk = b""
+                if not chunk:
+                    flush()
+                    stopped.wait(0.1)
+                    continue
+                partial += chunk
+                *lines, partial = partial.split(b"\n")
+                buf.extend(l.decode("utf-8", "replace") for l in lines)
+                if len(buf) >= flush_every:
+                    flush()
+            if partial:
+                buf.append(partial.decode("utf-8", "replace"))
+            flush()
+        finally:
+            os.close(fd)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def stop():
+        stopped.set()
+        t.join(timeout=5)
+
+    return stop
+
+
+def read_stdin_lines(spark: SparkSession) -> DataFrame:
+    """stdin receiver analog (`pkg/stanza/operator/input/stdin`): drain
+    standard input ONCE into a batch DataFrame of ``line: string``. The
+    driver reads stdin (a process has exactly one stdin — inherently
+    driver-side, like the reference's single scanner goroutine) and
+    parallelizes the collected lines; pipe through the same parsers."""
+    import sys
+
+    lines = [l.rstrip("\n") for l in sys.stdin]
+    return spark.createDataFrame(
+        [(l,) for l in lines], T.StructType([T.StructField("line", T.StringType())])
+    )

@@ -133,3 +133,59 @@ def test_write_routed_salt_is_deterministic(spark, tmp_path):
     g1 = file_groups(str(tmp_path / "run1"))
     g2 = file_groups(str(tmp_path / "run2"))
     assert g1 == g2
+
+
+def test_lsh_pair_path_single_exchange(spark):
+    """Round-3 invariant: LSH candidate generation exchanges the exploded
+    (id, band, sig) set EXACTLY once (groupBy bucket → local pairwise
+    explode). The r02 self-join form shuffled it twice and recomputed the
+    signature per side; freeze the fixed shape."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    t = tokens_df(spark, 3000, num_partitions=4).select("doc_id", "tokens")
+    sig = minhash_signature(t, "tokens", num_perms=8)
+    pairs = lsh_candidate_pairs(sig, "doc_id", 8, 4, dedup=False)
+    plan = _executed_plan(pairs)
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"pair path plans {n_exchanges} exchanges:\n{plan[:2000]}"
+    # dedup=True adds exactly the one distinct exchange, nothing more
+    plan2 = _executed_plan(lsh_candidate_pairs(sig, "doc_id", 8, 4, dedup=True))
+    assert plan2.count("Exchange hashpartitioning") == 2, plan2[:2000]
+
+
+def test_minhash_signature_engines_agree(spark):
+    """The Arrow LUT kernel and the JVM higher-order form are bit-identical,
+    including out-of-vocab values (mod-formula fallback branch) and
+    empty/null token arrays."""
+    from pyspark.sql import types as T
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        VOCAB,
+        minhash_signature,
+    )
+
+    sch = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    rows = [
+        (0, [0, 1, 2, VOCAB - 1]),
+        (1, []),
+        (2, None),
+        (3, [7]),
+        (4, [123456789, 5]),  # out-of-vocab → mod fallback
+        (5, list(range(200))),
+    ]
+    df = spark.createDataFrame(rows, sch)
+    cols = [f"mh{i}" for i in range(8)]
+    a = {r.doc_id: tuple(r[c] for c in cols)
+         for r in minhash_signature(df, "tokens", 8, engine="arrow").collect()}
+    j = {r.doc_id: tuple(r[c] for c in cols)
+         for r in minhash_signature(df, "tokens", 8, engine="jvm").collect()}
+    assert a == j
+    assert a[1] == (None,) * 8 and a[2] == (None,) * 8

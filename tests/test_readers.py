@@ -120,3 +120,45 @@ def test_read_log_lines_structural_offsets(spark, tmp_path_factory):
     big = sorted(by_file["big.log"])
     assert len(big) == n
     assert all(line == f"line-{off:06d}" for off, line in big)
+
+
+def test_namedpipe_spool_source(spark, tmp_path):
+    """namedpipe receiver analog: lines written into a FIFO land in the
+    spool and read back intact (order within a spool file preserved)."""
+    import os
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        pipe_spool_listener,
+    )
+
+    fifo = str(tmp_path / "in.pipe")
+    spool = str(tmp_path / "spool")
+    stop = pipe_spool_listener(fifo, spool, flush_every=10)
+    try:
+        with open(fifo, "w") as w:
+            for i in range(25):
+                w.write(f"pipe line {i}\n")
+        deadline = _time.time() + 15
+        while _time.time() < deadline:
+            try:
+                if spark.read.text(spool).count() >= 25:
+                    break
+            except Exception:
+                pass
+            _time.sleep(0.3)
+    finally:
+        stop()
+    got = sorted(r.value for r in spark.read.text(spool).collect())
+    assert got == sorted(f"pipe line {i}" for i in range(25))
+
+
+def test_stdin_reader(spark, monkeypatch):
+    """stdin receiver analog: drain stdin into a batch DataFrame."""
+    import io
+
+    from opentelemetry_collector_contrib_spark.sources.readers import read_stdin_lines
+
+    monkeypatch.setattr("sys.stdin", io.StringIO("alpha\nbeta\ngamma\n"))
+    rows = [r.line for r in read_stdin_lines(spark).collect()]
+    assert rows == ["alpha", "beta", "gamma"]

@@ -165,3 +165,61 @@ def test_socket_source_syslog_pipeline(spark, tmp_path):
     assert int(row.pri) == (7 * 13) % 192
     assert row.facility == int(row.pri) // 8 and row.syslog_severity == int(row.pri) % 8
     assert row.host == "host-1"
+
+
+def test_udp_source_syslog_pipeline(spark, tmp_path):
+    """Live UDP ingestion (udplog receiver analog): datagrams land in the
+    spool via the listener thread, the checkpointed file stream parses
+    them with the SAME batch syslog_parser. One datagram = one entry —
+    embedded newlines must NOT split (message-oriented semantics,
+    input/udp/input.go)."""
+    import socket
+    import time as _time
+
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        stream_udp_lines,
+        udp_spool_listener,
+    )
+    from opentelemetry_collector_contrib_spark.operators.parse import syslog_parser
+
+    spool = str(tmp_path / "spool")
+    srv, stop = udp_spool_listener("127.0.0.1", 0, spool, flush_every=10)
+    port = srv.getsockname()[1]
+
+    msgs = [
+        f"<{(i * 11) % 192}>Mar {i % 28 + 1} 10:00:0{i % 10} host-{i % 4} app: udp {i}"
+        for i in range(30)
+    ]
+    client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for m in msgs:
+        client.sendto((m + "\n").encode(), ("127.0.0.1", port))
+
+    stream = stream_udp_lines(spark, spool)
+    parsed = syslog_parser(stream, "value", protocol="rfc3164").select(
+        "pri", "facility", "syslog_severity", "host", "msg"
+    )
+    out = str(tmp_path / "sink")
+    q = (
+        parsed.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() >= len(msgs):
+                break
+        except Exception:
+            pass
+        _time.sleep(1)
+    q.stop()
+    stop()
+    client.close()
+    got = spark.read.parquet(out)
+    assert got.count() == len(msgs)
+    row = got.filter("msg = 'udp 7'").collect()[0]
+    assert int(row.pri) == (7 * 11) % 192
+    assert row.facility == int(row.pri) // 8 and row.syslog_severity == int(row.pri) % 8
+    assert row.host == "host-3"
