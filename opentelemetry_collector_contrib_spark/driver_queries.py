@@ -1441,6 +1441,87 @@ FROM events GROUP BY event_type
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any 4-gram with
+    the held-out set (docs with id % 37 == 0 stand in for the benchmark).
+    Corpus inverted index shuffles by small shingle longs once; the
+    benchmark's distinct shingle set broadcasts."""
+    from .operators.dedup import decontaminate
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    bench = toks.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate(toks, bench, "doc_id", "tokens", n=4)
+
+
+def _decontaminate_sql() -> str:
+    v = 50257
+    c1, c2, c3 = v, v * v, v * v * v
+    return _SQL_BASE + f"""
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - 2),
+           i -> tokens[i]*{c3}::BIGINT + tokens[i+1]*{c2}::BIGINT
+              + tokens[i+2]*{c1}::BIGINT + tokens[i+3])) AS shingles
+  FROM base
+), bsh AS (
+  SELECT DISTINCT UNNEST(shingles) AS sg FROM sh WHERE doc_id % 37 = 0
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS sg FROM sh
+)
+SELECT inv.doc_id, CAST(COUNT(*) AS BIGINT) AS contaminated_ngrams
+FROM inv JOIN bsh USING (sg)
+GROUP BY inv.doc_id
+"""
+
+
+_SQL_DECONTAMINATE = _decontaminate_sql()
+
+
+_PACK_LEN = 512
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: per-source token streams cut into
+    fixed-length training chunks (documents concatenated in doc_id order,
+    spanning chunk boundaries — no padding). Tokens shuffle exactly once,
+    by (source, chunk); the offset window sorts doc-count rows only.
+    Output hashes the packed arrays as '-'-joined strings for exact
+    cross-engine equality."""
+    from .operators.packing import pack_sequences
+
+    toks = _tokens_of_docs(spark, sf_dir).select("source", "doc_id", "tokens")
+    out = pack_sequences(toks, "source", "doc_id", "tokens", seq_len=_PACK_LEN)
+    return out.select(
+        "source",
+        "chunk_id",
+        "n_tokens",
+        F.concat_ws("-", F.transform("tokens", lambda t: t.cast("string"))).alias(
+            "toks_str"
+        ),
+    )
+
+
+_SQL_PACK = _SQL_BASE + f"""
+, g AS (
+  SELECT source, flatten(list(tokens ORDER BY doc_id)) AS all_toks
+  FROM base GROUP BY source
+), chunks AS (
+  SELECT source, all_toks,
+         UNNEST(range(0, CAST(ceil(len(all_toks) / {_PACK_LEN}.0) AS BIGINT))) AS chunk_id
+  FROM g
+), sliced AS (
+  SELECT source, chunk_id,
+         list_slice(all_toks, chunk_id * {_PACK_LEN} + 1, (chunk_id + 1) * {_PACK_LEN}) AS toks
+  FROM chunks
+)
+SELECT source, chunk_id, CAST(len(toks) AS INT) AS n_tokens,
+       array_to_string(toks, '-') AS toks_str
+FROM sliced
+"""
+
+
 def _q_novelty_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join novelty filter: keep documents whose exact text hash is NOT
     in a reference 'seen' corpus (the incremental-dedup building block)."""
@@ -1721,6 +1802,8 @@ REGISTRY: list[Query] = [
     Query("percentiles", _q_percentiles, _SQL_PERCENTILES),
     Query("asof_join", _q_asof_join, _SQL_ASOF),
     Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
+    Query("pack_sequences", _q_pack_sequences, _SQL_PACK),
+    Query("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
 ]

@@ -491,6 +491,51 @@ def ngram_shingles(df: DataFrame, tokens_col: str, n: int = 3, out: str = "shing
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+    mode: str = "flag",
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3/The-Pile style): drop or flag
+    corpus documents sharing ≥ min_hits distinct n-gram shingles with a
+    held-out benchmark set — train/test overlap is the classic silent
+    eval-inflation bug a 100 TB pipeline must scrub.
+
+    Physical shape: the benchmark's DISTINCT shingle set (explode →
+    distinct — small: |bench| ≪ |corpus|) joins the corpus inverted index
+    on the shingle id, so the corpus shuffles by small longs once and the
+    benchmark side broadcasts when it fits. mode='flag' returns
+    (id, contaminated_ngrams); mode='drop' returns the clean corpus rows
+    via broadcast anti-join (the contaminated-id set is the small side —
+    same pattern as exact_dedup)."""
+    bench_sh = (
+        ngram_shingles(benchmark.select(tokens_col), tokens_col, n)
+        .select(F.explode("shingles").alias("sg"))
+        .distinct()
+    )
+    inv = ngram_shingles(corpus.select(id_col, tokens_col), tokens_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("sg")
+    )
+    hits = (
+        inv.join(F.broadcast(bench_sh), on="sg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("contaminated_ngrams"))
+        .filter(F.col("contaminated_ngrams") >= min_hits)
+    )
+    if mode == "flag":
+        return hits
+    if mode != "drop":
+        raise ValueError(f"unknown mode {mode!r}")
+    bad = hits.select(id_col).localCheckpoint(eager=True)
+    if bad.count() <= 10_000_000:
+        bad = F.broadcast(bad)
+    return corpus.join(bad, on=id_col, how="left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -1,0 +1,75 @@
+"""Sequence packing for LLM training data.
+
+The standard pretraining layout job: concatenate every document's tokens in
+a deterministic order within a shard, then cut the stream into fixed-length
+training sequences (no padding waste, documents span chunk boundaries —
+GPT-style packing). Beyond the reference collector's scope; first-class for
+a 100 TB training-data pipeline.
+
+Physical shape: one window over DOCS per shard computes each document's
+exclusive token offset (the window sorts doc-count rows, not tokens), then
+tokens explode with their global position and shuffle ONCE by
+(shard, chunk) for assembly — the minimum data movement any packing job
+needs (every token must reach its output chunk).
+
+Skew note: a hot shard serializes its doc-offset window; for 45 %-hot
+shards apply the same two-level prefix-sum used by
+``operators.recombine(skew_chunk=...)`` — per-doc-range chunk counts roll
+up in a tiny window, ranges offset independently. The token shuffle itself
+is balanced by (shard, chunk), which is uniform regardless of shard skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_sequences(
+    df: DataFrame,
+    shard_col: str,
+    order_col: str,
+    tokens_col: str,
+    seq_len: int = 2048,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Pack per-document token arrays into fixed-length sequences per shard.
+
+    Returns (shard, chunk_id, n_tokens, tokens) where tokens is the packed
+    array in stream order; the final partial chunk is kept unless
+    drop_last. Deterministic: documents concatenate in order_col order, so
+    a rerun (or another engine — see the DuckDB oracle in driver_queries)
+    produces identical chunks."""
+    n_tok = F.size(F.col(tokens_col))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum(n_tok).over(w), F.lit(0)).alias("__off")
+    exploded = (
+        df.select(F.col(shard_col), F.col(order_col), off, F.col(tokens_col))
+        .select(
+            shard_col,
+            "__off",
+            F.posexplode(F.col(tokens_col)).alias("__i", "__tok"),
+        )
+        .select(
+            shard_col,
+            (F.col("__off") + F.col("__i")).alias("__gpos"),
+            "__tok",
+        )
+    )
+    packed = (
+        exploded.withColumn("chunk_id", F.floor(F.col("__gpos") / seq_len))
+        .groupBy(shard_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__gpos").alias("g"), F.col("__tok").alias("t")))
+            ).getField("t").alias("tokens"),
+        )
+    )
+    if drop_last:
+        packed = packed.filter(F.col("n_tokens") == seq_len)
+    return packed

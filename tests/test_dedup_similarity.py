@@ -314,3 +314,74 @@ def test_lsh_multi_table_recall(spark, emb):
     assert r4 >= 0.4  # consistent with 1-(1-p^4)^4 for random 8-d vectors
     # the planted near-dup (cos≈1 ⇒ collides in every table) is always found
     assert (0, 40) in p4
+
+
+class TestDecontaminate:
+    def test_flag_and_drop(self, spark):
+        """Docs sharing >= min_hits distinct n-grams with the benchmark are
+        flagged with the exact overlapping-shingle count; drop mode anti-joins
+        them away."""
+        corpus = spark.createDataFrame(
+            [
+                (0, [1, 2, 3, 4, 5]),      # contains bench 3-grams (1,2,3) (2,3,4) (3,4,5)
+                (1, [9, 9, 9, 1, 2, 3]),   # one overlapping 3-gram: (1,2,3)
+                (2, [7, 8, 9, 10]),        # clean
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        bench = spark.createDataFrame(
+            [(100, [1, 2, 3, 4, 5])], "doc_id long, tokens array<int>"
+        )
+        flags = {
+            r.doc_id: r.contaminated_ngrams
+            for r in dd.decontaminate(corpus, bench, "doc_id", "tokens", n=3).collect()
+        }
+        assert flags == {0: 3, 1: 1}
+        clean = dd.decontaminate(
+            corpus, bench, "doc_id", "tokens", n=3, mode="drop"
+        )
+        assert {r.doc_id for r in clean.collect()} == {2}
+        # min_hits raises the bar: doc 1's single shared 3-gram survives
+        sel = dd.decontaminate(
+            corpus, bench, "doc_id", "tokens", n=3, min_hits=2, mode="drop"
+        )
+        assert {r.doc_id for r in sel.collect()} == {1, 2}
+
+
+class TestPacking:
+    def test_pack_sequences_exact(self, spark):
+        """Packed chunks = the concatenated per-shard stream cut every L
+        tokens, documents spanning boundaries, trailing partial kept (or
+        dropped with drop_last)."""
+        from pyspark.sql import types as T
+
+        from opentelemetry_collector_contrib_spark.operators.packing import (
+            pack_sequences,
+        )
+
+        sch = T.StructType([
+            T.StructField("shard", T.StringType()),
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        ])
+        rows = [
+            ("a", 0, [1, 2, 3]),
+            ("a", 1, []),           # empty doc vanishes from the stream
+            ("a", 2, [4, 5, 6, 7]),
+            ("a", 3, [8]),
+            ("b", 0, [9, 10]),
+        ]
+        df = spark.createDataFrame(rows, sch)
+        out = pack_sequences(df, "shard", "doc_id", "tokens", seq_len=4)
+        got = {(r.shard, r.chunk_id): (r.n_tokens, list(r.tokens))
+               for r in out.collect()}
+        assert got == {
+            ("a", 0): (4, [1, 2, 3, 4]),
+            ("a", 1): (4, [5, 6, 7, 8]),
+            ("b", 0): (2, [9, 10]),
+        }
+        full = pack_sequences(df, "shard", "doc_id", "tokens", seq_len=4,
+                              drop_last=True)
+        assert {(r.shard, r.chunk_id) for r in full.collect()} == {
+            ("a", 0), ("a", 1)
+        }
