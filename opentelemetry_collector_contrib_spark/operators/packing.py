@@ -6,11 +6,13 @@ training sequences (no padding waste, documents span chunk boundaries —
 GPT-style packing). Beyond the reference collector's scope; first-class for
 a 100 TB training-data pipeline.
 
-Physical shape: one window over DOCS per shard computes each document's
-exclusive token offset (the window sorts doc-count rows, not tokens), then
-tokens explode with their global position and shuffle ONCE by
-(shard, chunk) for assembly — the minimum data movement any packing job
-needs (every token must reach its output chunk).
+Physical shape (verified via explain): ONE exchange total. The per-shard
+offset window shuffles by shard (sorting doc-count rows, not tokens);
+tokens then explode with their global position, and the (shard, chunk)
+groupBy is exchange-free — Catalyst recognizes HashPartitioning(shard)
+already satisfies ClusteredDistribution(shard, chunk) and elides the
+second shuffle. That is the minimum data movement any packing job needs
+(every token must reach its output chunk exactly once).
 
 Skew note: a hot shard serializes its doc-offset window; for 45 %-hot
 shards apply the same two-level prefix-sum used by
