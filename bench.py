@@ -162,26 +162,67 @@ def _cpu_probe() -> float:
     return time.time() - t0
 
 
+_session_ref: float | None = None  # relaxed anchor once a stable plateau is seen
+_STABLE_WINDOW = 4
+_STABLE_SPREAD = 1.10
+
+
+def _gate_ref() -> float | None:
+    """Anchor used for accept/reject decisions: the all-time best, unless a
+    stable-but-slower plateau was accepted this run."""
+    if _session_ref is not None and (_best_probe is None or _session_ref > _best_probe):
+        return _session_ref
+    return _best_probe
+
+
 def _machine_quiet(events: list[str], phase: str) -> float:
     """Block until the calibration probe is within PROBE_TOLERANCE of the
-    best probe seen on this machine (persisted across runs), or the GLOBAL
-    probe-wait budget for this bench run is exhausted. Returns the accepted
-    probe seconds."""
-    global _best_probe, _probe_wait_spent
+    anchor (all-time best, persisted across runs), with two escape hatches:
+
+    - STABLE PLATEAU: if _STABLE_WINDOW consecutive probes agree within
+      _STABLE_SPREAD but sit above the historical anchor, the machine's
+      quiet-state speed has drifted (host-neighbor baseline changed) — a
+      transiently contended box shows probe variance, a drifted one doesn't.
+      Accept the plateau as this run's anchor and record the drift as an
+      event so the artifact is honest. Ratios between interleaved levels
+      stay valid; only cross-run absolute comparisons carry the noted drift.
+    - BUDGET: a global (per-run) wait budget bounds total stall time.
+
+    Returns the accepted probe seconds."""
+    global _best_probe, _probe_wait_spent, _session_ref
+    recent: list[float] = []
     while True:
         p = _cpu_probe()
         if _best_probe is None or p < _best_probe:
             _best_probe = p
             _save_probe_ref()
-        if p <= _best_probe * PROBE_TOLERANCE:
+        ref = _gate_ref()
+        if p <= ref * PROBE_TOLERANCE:
+            return p
+        recent.append(p)
+        if (
+            len(recent) >= _STABLE_WINDOW
+            and max(recent[-_STABLE_WINDOW:])
+            <= min(recent[-_STABLE_WINDOW:]) * _STABLE_SPREAD
+        ):
+            _session_ref = min(recent[-_STABLE_WINDOW:])
+            events.append(
+                f"probe_ref_relaxed:{phase}:plateau={_session_ref:.2f},"
+                f"alltime_best={_best_probe:.2f}"
+            )
+            print(
+                f"bench: probe plateau {_session_ref:.2f}s accepted as anchor "
+                f"(all-time best {_best_probe:.2f}s — quiet-state drift)",
+                file=sys.stderr,
+            )
             return p
         if _probe_wait_spent >= PROBE_WAIT_BUDGET_S:
-            events.append(f"probe_gave_up:{phase}:probe={p:.2f},best={_best_probe:.2f}")
+            events.append(f"probe_gave_up:{phase}:probe={p:.2f},best={ref:.2f}")
             return p
-        events.append(f"probe_slow:{phase}:probe={p:.2f},best={_best_probe:.2f}")
+        events.append(f"probe_slow:{phase}:probe={p:.2f},best={ref:.2f}")
         print(
             f"bench: machine contended ({phase}: probe {p:.2f}s vs best "
-            f"{_best_probe:.2f}s) — waiting "
+            f"{ref:.2f}s) — waiting "
             f"({int(PROBE_WAIT_BUDGET_S - _probe_wait_spent)}s budget left)",
             file=sys.stderr,
         )
@@ -291,7 +332,7 @@ def _scaling_matrix(
                 sec, steal = _spawn_pinned(cores, runs=1)
                 post = _cpu_probe()
                 clean = steal <= MAX_STEAL and (
-                    _best_probe is None or post <= _best_probe * PROBE_TOLERANCE
+                    _gate_ref() is None or post <= _gate_ref() * PROBE_TOLERANCE
                 )
                 if clean or attempt == 2:
                     if not clean:

@@ -1003,6 +1003,119 @@ FROM documents
 """
 
 
+def _q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (integer-exact): per doc, for n in
+    {2,3}: n-gram position count, max n-gram multiplicity, positions covered
+    by duplicated n-grams. Spark computes them with a zero-shuffle per-row
+    sort+fold; the oracle uses explode+GROUP BY — same counts exactly."""
+    from .operators.textstats import repetition_stats
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return repetition_stats(toks, "tokens", ns=(2, 3)).drop("tokens")
+
+
+def _rep_stats_sql() -> str:
+    v = 50257
+    parts = []
+    for n in (2, 3):
+        gram = " + ".join(
+            f"tokens[i+{k}]*{v ** (n - 1 - k)}::BIGINT" for k in range(n)
+        )
+        parts.append(f"""
+, e{n} AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(tokens) - {n - 2}),
+                                       i -> {gram})) AS gm
+  FROM base WHERE len(tokens) >= {n}
+), c{n} AS (
+  SELECT doc_id, gm, COUNT(*) AS c FROM e{n} GROUP BY doc_id, gm
+), s{n} AS (
+  SELECT doc_id, MAX(c) AS top_{n},
+         COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS dup_{n}
+  FROM c{n} GROUP BY doc_id
+)""")
+    return _SQL_BASE + "".join(parts) + """
+SELECT b.doc_id,
+       CAST(GREATEST(b.n_tok - 1, 0) AS BIGINT) AS npos_2,
+       CAST(COALESCE(s2.top_2, 0) AS BIGINT) AS top_2,
+       CAST(COALESCE(s2.dup_2, 0) AS BIGINT) AS dup_2,
+       CAST(GREATEST(b.n_tok - 2, 0) AS BIGINT) AS npos_3,
+       CAST(COALESCE(s3.top_3, 0) AS BIGINT) AS top_3,
+       CAST(COALESCE(s3.dup_3, 0) AS BIGINT) AS dup_3
+FROM base b LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+"""
+
+
+_SQL_REP_STATS = _rep_stats_sql()
+
+
+_MIX_WEIGHTS = {"src0": 0.4, "src1": 0.2, "src2": 0.2, "src3": 0.1, "src4": 0.1}
+_MIX_TARGET = 100
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture downsampling: per-source keep rates derived from
+    target weights × target_total / source count (capped at 1), applied via
+    the deterministic sampler bucket. src0's rate caps at 100%; unweighted
+    sources drop entirely."""
+    from .operators.sampler import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return mixture_sample(
+        docs, "source", F.col("doc_id"), _MIX_WEIGHTS, _MIX_TARGET, seed=3
+    )
+
+
+def _mixture_sql() -> str:
+    w_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items())
+        + " ELSE 0.0 END"
+    )
+    rate = f"LEAST(100.0, (({w_case}) * {float(_MIX_TARGET)}) / (COUNT(*) OVER (PARTITION BY source)) * 100.0)"
+    return f"""
+SELECT source, doc_id FROM (
+  SELECT doc_id, source,
+         {sampler_bucket_sql('doc_id', seed=3)} AS bkt,
+         {rate} AS rate_pct
+  FROM documents
+) WHERE bkt < rate_pct * {SAMPLER_BUCKETS} / 100.0
+"""
+
+
+_SQL_MIXTURE = _mixture_sql()
+
+
+_SHUF_SHARDS = 8
+
+
+def _q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle: pseudo-random shard + stable in-shard
+    position for every document, identical across engines/reruns."""
+    from .operators.packing import deterministic_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return deterministic_shuffle(docs, F.col("doc_id"), _SHUF_SHARDS, seed=11)
+
+
+def _det_shuffle_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    mix = mix32_sql("doc_id", seed=11)
+    return f"""
+SELECT doc_id, CAST({mix} % {_SHUF_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {mix} % {_SHUF_SHARDS}
+                               ORDER BY {mix}, doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""
+
+
+_SQL_DET_SHUFFLE = _det_shuffle_sql()
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import language_id
 
@@ -1751,6 +1864,70 @@ def _q_stream_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation through Structured Streaming:
+    the events table replayed as a multi-trigger file stream, watermarked,
+    grouped into 1-day windows per event_type (counts + integer-cents sums),
+    drained with availableNow and written per-batch via foreachBatch
+    overwrite (complete mode — every window present at the final commit, so
+    the result is deterministic and equals the batch/SQL oracle exactly;
+    append-mode's closed-window-only emission is exercised separately in
+    tests). Mirrors the collector's interval/aggregation processors in the
+    streaming regime (SURVEY §2.8)."""
+    import tempfile
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="streamwin_q_")
+    # watermarks require TIMESTAMP (with tz); parquet ts is NTZ — with the
+    # session pinned UTC the cast is value-identical.
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.write.mode("overwrite").parquet(f"{work}/in")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(f"{work}/in")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents_sum"),
+        )
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).alias("day_unix"),
+            "n_events",
+            "cents_sum",
+        )
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{work}/out")
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{work}/out")
+
+
+_SQL_STREAM_WINDOW = """
+SELECT event_type,
+       CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS day_unix,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -1797,6 +1974,7 @@ REGISTRY: list[Query] = [
     Query("jaccard_pairs", _q_jaccard_pairs, _SQL_JACCARD),
     Query("embedding_neardup", _q_embedding_neardup, _SQL_EMB_NEARDUP),
     Query("stream_pipeline", _q_stream_pipeline, _SQL_ROUTE_ONCE),
+    Query("stream_window_agg", _q_stream_window_agg, _SQL_STREAM_WINDOW),
     Query("sessionize", _q_sessionize, _SQL_SESSIONIZE),
     Query("agg_rollup", _q_agg_rollup, _SQL_ROLLUP),
     Query("percentiles", _q_percentiles, _SQL_PERCENTILES),
@@ -1804,6 +1982,9 @@ REGISTRY: list[Query] = [
     Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
     Query("pack_sequences", _q_pack_sequences, _SQL_PACK),
     Query("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    Query("rep_stats", _q_rep_stats, _SQL_REP_STATS),
+    Query("mixture_sample", _q_mixture_sample, _SQL_MIXTURE),
+    Query("det_shuffle", _q_det_shuffle, _SQL_DET_SHUFFLE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
 ]

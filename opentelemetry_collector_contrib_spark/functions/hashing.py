@@ -27,6 +27,28 @@ _M16 = 1 << 16
 _SHIFT = 1 << (32 - SAMPLER_BITS)  # take the HIGH 14 bits of the 32-bit mix
 
 
+def mix32_col(key: Column, seed: int = 0) -> Column:
+    """Full 32-bit Knuth multiplicative mix of a long key (the value
+    ``sampler_bucket_col`` takes its high 14 bits from). Overflow-free:
+    the multiply is split into 16-bit halves so every intermediate stays
+    < 2^48 — identical in Spark and DuckDB (`mix32_sql`)."""
+    h = F.pmod(key.cast("long") + F.lit(seed), F.lit(_M32))
+    lo = h % F.lit(_M16)
+    hi = (h / F.lit(_M16)).cast("long")
+    return F.pmod(
+        lo * F.lit(_KNUTH) + (hi * F.lit(_KNUTH) % F.lit(_M16)) * F.lit(_M16),
+        F.lit(_M32),
+    )
+
+
+def mix32_sql(key_sql: str, seed: int = 0) -> str:
+    """DuckDB fragment equal to ``mix32_col`` for the correctness oracle."""
+    h = f"(((({key_sql}) + {seed}) % {_M32} + {_M32}) % {_M32})"
+    lo = f"({h} % {_M16})"
+    hi = f"({h} // {_M16})"
+    return f"(({lo} * {_KNUTH} + ({hi} * {_KNUTH} % {_M16}) * {_M16}) % {_M32})"
+
+
 def sampler_bucket_col(key: Column, seed: int = 0) -> Column:
     """14-bit deterministic bucket of a long key (JVM-side arithmetic).
 
@@ -36,11 +58,7 @@ def sampler_bucket_col(key: Column, seed: int = 0) -> Column:
     into 16-bit halves — every intermediate stays < 2^48. Bucket = the HIGH
     14 bits of ``h*K mod 2^32`` (low bits of a multiplicative hash are the
     weak ones: they depend only on ``key mod 2^14``)."""
-    h = F.pmod(key.cast("long") + F.lit(seed), F.lit(_M32))
-    lo = h % F.lit(_M16)
-    hi = (h / F.lit(_M16)).cast("long")  # exact: h < 2^32 fits a double
-    mixed = F.pmod(lo * F.lit(_KNUTH) + (hi * F.lit(_KNUTH) % F.lit(_M16)) * F.lit(_M16), F.lit(_M32))
-    return (mixed / F.lit(_SHIFT)).cast("long")
+    return (mix32_col(key, seed) / F.lit(_SHIFT)).cast("long")
 
 
 def sampler_keep_col(key: Column, pct: Column | float, seed: int = 0) -> Column:

@@ -23,8 +23,10 @@ is balanced by (shard, chunk), which is uniform regardless of shard skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.hashing import mix32_col
 
 
 def pack_sequences(
@@ -75,3 +77,32 @@ def pack_sequences(
     if drop_last:
         packed = packed.filter(F.col("n_tokens") == seq_len)
     return packed
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key: Column,
+    num_shards: int,
+    seed: int = 0,
+    shard_out: str = "shard_id",
+    pos_out: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training-data layout: every row gets
+    a pseudo-random shard and a stable position within it, reproducible
+    across reruns, cluster sizes, and engines (the pre-training requirement:
+    the data order IS part of the training run's spec).
+
+    shard = mix32(key, seed) mod num_shards; pos = rank within the shard by
+    (mix32, key) — the key tiebreak makes positions total even when two keys
+    collide in the 32-bit mix. ONE shuffle (hash by shard); the per-shard
+    window sorts shard-sized slices. At 100 TB, num_shards is chosen so a
+    shard fits an output file (e.g. 1e5 shards of ~1 GB) — the sort is
+    per-shard, never global."""
+    mixed = mix32_col(key, seed)
+    w = Window.partitionBy(shard_out).orderBy("__mix", key)
+    return (
+        df.withColumn("__mix", mixed)
+        .withColumn(shard_out, F.pmod(F.col("__mix"), F.lit(num_shards)).cast("int"))
+        .withColumn(pos_out, (F.row_number().over(w) - 1).cast("long"))
+        .drop("__mix")
+    )

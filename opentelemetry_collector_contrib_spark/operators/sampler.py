@@ -32,3 +32,41 @@ def probabilistic_sample(
     if priority_pct is not None:
         eff = F.coalesce(priority_pct, eff)
     return df.filter(sampler_keep_col(key, eff, seed=seed))
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key: Column,
+    weights: dict[str, float],
+    target_total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Domain-mixture downsampling for training-data curation: keep a
+    deterministic subset so each domain contributes ≈ weights[d] ×
+    target_total rows (rate capped at 1 — a domain smaller than its target
+    keeps everything; the classic data-mixture recipe, e.g. The Pile /
+    GPT-3 mixture tables).
+
+    Physical shape: per-domain counts are a tiny partial-aggregated groupBy
+    broadcast back onto the corpus (no driver collect), then the keep
+    decision is the same whole-stage-codegen bucket hash the probabilistic
+    sampler uses — deterministic in (key, seed), so reruns and other
+    engines agree row-for-row. Domains absent from `weights` get weight 0
+    (dropped)."""
+    w_map = F.create_map(
+        *[x for k, v in weights.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__dom_cnt"))
+    rate_pct = F.least(
+        F.lit(100.0),
+        F.coalesce(w_map[F.col(domain_col)], F.lit(0.0))
+        * F.lit(float(target_total))
+        / F.col("__dom_cnt")
+        * 100.0,
+    )
+    return (
+        df.join(F.broadcast(counts), on=domain_col)
+        .filter(sampler_keep_col(key, rate_pct, seed=seed))
+        .drop("__dom_cnt")
+    )

@@ -6,6 +6,8 @@ whole-stage codegen.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -82,6 +84,88 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("symbol_ratio", symbol_ratio)
         .withColumn("quality", F.round(score, 4))
     )
+
+
+def repetition_stats(
+    df: DataFrame, tokens_col: str = "tokens", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    'fraction of characters in the most common / in duplicated n-grams' —
+    the token-domain analogs here): for each n, the occurrence count of the
+    most frequent n-gram, the number of n-gram positions whose gram occurs
+    more than once, and the total position count. Integer outputs so any
+    engine reproduces them exactly; callers derive ratios.
+
+    Physical shape: ZERO shuffle and zero Python. Grams pack into longs
+    (same base-VOCAB packing as dedup.ngram_shingles), are array_sort'ed
+    per row, and a single O(L) higher-order fold over the sorted array
+    extracts max-run-length and duplicated-position counts — per-row
+    whole-stage-codegen work, no explode, no groupBy. The SQL oracle uses
+    the explode+GROUP BY formulation; both count gram multiplicity, so
+    they agree exactly."""
+    from .dedup import VOCAB
+
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    out = df
+    for n in ns:
+        idx = F.sequence(F.lit(1), ln - (n - 1))
+
+        # NB: a plain `lambda i, n=n: ...` breaks here — pyspark's
+        # higher-order-function bridge binds one lambda variable per
+        # *parameter* (defaults included), so n would arrive as a Column.
+        def _pack(i: Column, n: int = n) -> Column:
+            return reduce(
+                lambda a, b: a + b,
+                [
+                    F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k))
+                    for k in range(n)
+                ],
+            )
+
+        packed = F.transform(idx, lambda i: _pack(i))
+        grams = F.when(ln >= n, F.array_sort(packed)).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        # fold over the sorted grams: runs of equal values are gram groups.
+        # acc = (prev, cur_run, max_run, dup_positions); a run contributes to
+        # dup_positions from its 2nd element on (+2 when the run reaches
+        # length 2 — both positions — then +1 per further element).
+        zero = F.struct(
+            F.lit(-1).cast("long").alias("prev"),
+            F.lit(0).cast("long").alias("cur"),
+            F.lit(0).cast("long").alias("mx"),
+            F.lit(0).cast("long").alias("dup"),
+        )
+        folded = F.aggregate(
+            grams,
+            zero,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc.getField("prev"), acc.getField("cur") + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("cur"),
+                F.greatest(
+                    acc.getField("mx"),
+                    F.when(x == acc.getField("prev"), acc.getField("cur") + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("mx"),
+                (
+                    acc.getField("dup")
+                    + F.when(
+                        x == acc.getField("prev"),
+                        F.when(acc.getField("cur") == 1, F.lit(2)).otherwise(F.lit(1)),
+                    ).otherwise(F.lit(0))
+                ).cast("long").alias("dup"),
+            ),
+        )
+        out = (
+            out.withColumn(f"npos_{n}", F.greatest(ln - (n - 1), F.lit(0)).cast("long"))
+            .withColumn(f"top_{n}", folded.getField("mx"))
+            .withColumn(f"dup_{n}", folded.getField("dup"))
+        )
+    return out
 
 
 def fingerprint(df: DataFrame, tokens_col: str = "tokens", out: str = "fp") -> DataFrame:

@@ -316,6 +316,82 @@ def test_lsh_multi_table_recall(spark, emb):
     assert (0, 40) in p4
 
 
+class TestRepetitionStats:
+    def test_hand_computed(self, spark):
+        """Sort+fold repetition counters match hand-derived n-gram
+        multiplicities, including short/empty docs."""
+        df = spark.createDataFrame(
+            [
+                (0, [5, 5, 5, 7, 5, 5]),
+                (1, [1, 2, 1, 2, 1]),
+                (2, [9]),
+                (3, []),
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        got = {
+            r.doc_id: (r.npos_2, r.top_2, r.dup_2, r.npos_3, r.top_3, r.dup_3)
+            for r in ts.repetition_stats(df, "tokens").collect()
+        }
+        assert got == {
+            0: (5, 3, 3, 4, 1, 0),
+            1: (4, 2, 4, 3, 2, 2),
+            2: (0, 0, 0, 0, 0, 0),
+            3: (0, 0, 0, 0, 0, 0),
+        }
+
+
+class TestMixtureSample:
+    def test_rates_and_caps(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.sampler import (
+            mixture_sample,
+        )
+
+        rows = (
+            [(i, "a") for i in range(4)]
+            + [(100 + i, "b") for i in range(4)]
+            + [(200 + i, "c") for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, "id long, dom string")
+        # both weighted domains want 2× their size → rate caps at 100%;
+        # unweighted domain c drops entirely
+        full = mixture_sample(df, "dom", F.col("id"), {"a": 0.5, "b": 0.5}, 16)
+        got = {(r.dom, r.id) for r in full.collect()}
+        assert got == {(d, i) for i, d in rows if d in ("a", "b")}
+        # fractional rate: deterministic subset of the right domain
+        part1 = mixture_sample(df, "dom", F.col("id"), {"a": 0.25}, 4, seed=9)
+        part2 = mixture_sample(df, "dom", F.col("id"), {"a": 0.25}, 4, seed=9)
+        s1 = {(r.dom, r.id) for r in part1.collect()}
+        assert s1 == {(r.dom, r.id) for r in part2.collect()}  # deterministic
+        assert all(d == "a" for d, _ in s1) and len(s1) <= 4
+
+
+class TestDeterministicShuffle:
+    def test_shards_positions_determinism(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.packing import (
+            deterministic_shuffle,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+        out1 = deterministic_shuffle(df, F.col("id"), 4, seed=5).collect()
+        out2 = deterministic_shuffle(df, F.col("id"), 4, seed=5).collect()
+        assert sorted((r.id, r.shard_id, r.pos) for r in out1) == sorted(
+            (r.id, r.shard_id, r.pos) for r in out2
+        )
+        assert sorted(r.id for r in out1) == list(range(100))
+        by_shard: dict[int, list[int]] = {}
+        for r in out1:
+            by_shard.setdefault(r.shard_id, []).append(r.pos)
+        assert len(by_shard) > 1  # hash actually spreads
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))  # contiguous 0..k-1
+        # a different seed permutes
+        out3 = deterministic_shuffle(df, F.col("id"), 4, seed=6).collect()
+        assert {(r.id, r.shard_id) for r in out3} != {
+            (r.id, r.shard_id) for r in out1
+        }
+
+
 class TestDecontaminate:
     def test_flag_and_drop(self, spark):
         """Docs sharing >= min_hits distinct n-grams with the benchmark are
