@@ -1116,6 +1116,119 @@ FROM documents
 _SQL_DET_SHUFFLE = _det_shuffle_sql()
 
 
+_LINE_WORDS = 5
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line dedup: documents re-lined into
+    {_LINE_WORDS}-word lines (the synthetic corpus has no newlines), then
+    every exact duplicate line across the corpus keeps only its
+    (doc_id, pos)-first occurrence and docs are reassembled in order."""
+    from .operators.dedup import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
+    nlines = F.ceil(F.size(words) / _LINE_WORDS).cast("int")
+    lined = docs.select(
+        "doc_id",
+        F.when(
+            nlines > 0,
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(0), nlines - 1),
+                    lambda j: F.concat_ws(
+                        " ", F.slice(words, j * _LINE_WORDS + 1, _LINE_WORDS)
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit("")).alias("lined_text"),
+    )
+    return line_dedup(lined, "doc_id", "lined_text")
+
+
+_SQL_LINE_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, list_filter(str_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws
+  FROM documents
+), lines AS (
+  SELECT doc_id, g.i AS pos,
+         array_to_string(ws[(g.i*{_LINE_WORDS}+1):(g.i*{_LINE_WORDS}+{_LINE_WORDS})], ' ') AS line
+  FROM words,
+       LATERAL (SELECT UNNEST(range(0, CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT))) AS i) g
+), ranked AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
+  FROM lines
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN rk = 1 THEN 1 END), 0) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN rk = 1 THEN line END, chr(10) ORDER BY pos), '')
+         AS dedup_text
+FROM ranked GROUP BY doc_id
+"""
+
+
+def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021 analog): per doc,
+    the count of 4-token window positions whose exact 4-gram occurs in ≥2
+    distinct documents. Inverted index shuffles packed longs only."""
+    from .operators.dedup import duplicated_spans
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return duplicated_spans(toks, "doc_id", "tokens", n=4, min_docs=2)
+
+
+def _dup_spans_sql() -> str:
+    v = 50257
+    gram = " + ".join(f"tokens[i+{k}]*{v ** (3 - k)}::BIGINT" for k in range(4))
+    return _SQL_BASE + f"""
+, w AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(tokens) - 2), i -> {gram})) AS gm
+  FROM base WHERE len(tokens) >= 4
+), dup AS (
+  SELECT gm FROM w GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2
+), cnt AS (
+  SELECT w.doc_id, COUNT(*) AS dup_pos FROM w JOIN dup USING (gm) GROUP BY w.doc_id
+)
+SELECT b.doc_id,
+       CAST(GREATEST(b.n_tok - 3, 0) AS BIGINT) AS npos,
+       CAST(COALESCE(cnt.dup_pos, 0) AS BIGINT) AS dup_pos
+FROM base b LEFT JOIN cnt ON b.doc_id = cnt.doc_id
+"""
+
+
+_SQL_DUP_SPANS = _dup_spans_sql()
+
+
+_FREQ_TOP_K = 100
+
+
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram head: global token counts, top 100 with deterministic
+    (count desc, token asc) dense rank. One shuffle of (int, long) partial
+    counts; the top-k runs over the ≤|vocab|-row aggregate."""
+    from .operators.textstats import token_frequencies
+
+    toks = _tokens_of_docs(spark, sf_dir).select("tokens")
+    return token_frequencies(toks, "tokens", top_k=_FREQ_TOP_K)
+
+
+_SQL_TOKEN_FREQ = _SQL_BASE + f"""
+, flat AS (
+  SELECT UNNEST(tokens) AS token FROM base
+), freq AS (
+  SELECT token, COUNT(*) AS cnt FROM flat GROUP BY token
+)
+SELECT token, cnt,
+       CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS rank
+FROM freq QUALIFY rank <= {_FREQ_TOP_K}
+"""
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import language_id
 
@@ -1985,6 +2098,9 @@ REGISTRY: list[Query] = [
     Query("rep_stats", _q_rep_stats, _SQL_REP_STATS),
     Query("mixture_sample", _q_mixture_sample, _SQL_MIXTURE),
     Query("det_shuffle", _q_det_shuffle, _SQL_DET_SHUFFLE),
+    Query("line_dedup", _q_line_dedup, _SQL_LINE_DEDUP),
+    Query("dup_spans", _q_dup_spans, _SQL_DUP_SPANS),
+    Query("token_freq", _q_token_freq, _SQL_TOKEN_FREQ),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
 ]

@@ -580,3 +580,123 @@ def jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "common", "union_size", "jaccard"
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_line_len: int = 0,
+    out: str = "dedup_text",
+) -> DataFrame:
+    """C4-style corpus-level line deduplication (Raffel et al. 2020 §2.2:
+    'we discarded all but one of any three-sentence span occurring more than
+    once' — the line-granular variant used by most open pipelines): every
+    exact duplicate line across the whole corpus is dropped except its first
+    occurrence (ordered by (id, position)), and documents are reassembled
+    with surviving lines in original order. Lines shorter than
+    ``min_line_len`` characters are exempt (kept verbatim) — dropping every
+    blank line as "a duplicate" would destroy formatting.
+
+    Physical shape: split is per-row; the first-occurrence decision is one
+    shuffle keyed by the line text (at 100 TB you'd key the exchange on
+    xxhash64(line) and keep the text only as a payload-side tiebreak check —
+    semantics identical, narrower key; spelled here as the text itself so
+    any engine reproduces the result bit-for-bit), then one shuffle by id to
+    reassemble. collect_list is per-doc bounded (a document's own lines).
+
+    Returns (id, out, n_lines, n_kept) — n_lines/n_kept make the scrub
+    auditable without diffing text blobs.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    )
+    exempt = F.length("line") < min_line_len
+    w = Window.partitionBy("line").orderBy(id_col, "pos")
+    kept = (
+        lines.withColumn(
+            "rk", F.when(exempt, F.lit(1)).otherwise(F.row_number().over(w))
+        )
+        .withColumn("keep", F.col("rk") == 1)
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line")).otherwise(
+                                F.lit(None)
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias(out),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better": their suffix-array pass
+    finds verbatim token spans shared across documents; this is the
+    fixed-length distributed formulation): for each document, count the
+    n-token window positions whose exact n-gram also occurs in at least
+    ``min_docs`` distinct documents. Downstream policy (trim the spans,
+    drop the doc, weight it down) is the caller's.
+
+    Physical shape: per-row window packing (no Python), then an inverted
+    index exploded to (gram, id, pos): one shuffle to count DISTINCT docs
+    per gram, the surviving duplicate-gram set joined back on the packed
+    long, one shuffle by id to count. Shuffle keys are 8-byte longs —
+    payloads never move. n ≤ 4 so grams pack exactly into int64
+    (VOCAB^4 < 2^63); longer spans at scale chain this (a k·n-span
+    duplicate implies all its n-sub-spans are duplicates) or swap the
+    packing for a 128-bit hash.
+
+    Returns (id, npos, dup_pos): total window positions and duplicated
+    positions; dup fraction = dup_pos/npos is the Lee-et-al report metric.
+    """
+    if n > 4:
+        raise ValueError(f"n={n}: VOCAB^{n} overflows int64; use n <= 4")
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    packed = F.when(ln >= n, F.transform(
+        idx,
+        lambda i: sum(
+            [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
+            F.lit(0).cast("long"),
+        ),
+    )).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col), packed.alias("__grams"))
+    inv = base.select(id_col, F.explode("__grams").alias("gm"))
+    dup_grams = (
+        inv.groupBy("gm")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gm")
+    )
+    dup_counts = (
+        inv.join(dup_grams, on="gm")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_pos"))
+    )
+    return (
+        base.select(id_col, F.size("__grams").cast("long").alias("npos"))
+        .join(dup_counts, on=id_col, how="left")
+        .withColumn("dup_pos", F.coalesce(F.col("dup_pos"), F.lit(0).cast("long")))
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
@@ -181,4 +181,32 @@ def fingerprint(df: DataFrame, tokens_col: str = "tokens", out: str = "fp") -> D
             F.lit(0).cast("long"),
             lambda acc, t: (acc * 31 + t.cast("long")) % P,
         ),
+    )
+
+
+def token_frequencies(
+    df: DataFrame, tokens_col: str = "tokens", top_k: int | None = None
+) -> DataFrame:
+    """Corpus unigram statistics: global occurrence count per token id —
+    the table behind vocabulary pruning, BPE-merge audits, and
+    domain-drift checks in a training-data pipeline. With ``top_k``, the
+    head of the distribution with a deterministic dense rank (count desc,
+    token asc tiebreak) so the result set is engine-reproducible.
+
+    Physical shape: explode → groupBy(token) is ONE shuffle of (int, long)
+    partial counts — Spark's partial aggregation combines map-side, so the
+    exchange carries at most |vocab| rows per task regardless of corpus
+    size. The top-k is a TakeOrderedAndProject over the ≤|vocab|-row
+    aggregate, never a global sort of the corpus."""
+    freq = (
+        df.select(F.explode(F.col(tokens_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    if top_k is None:
+        return freq
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= top_k)
     )

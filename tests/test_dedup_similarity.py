@@ -461,3 +461,70 @@ class TestPacking:
         assert {(r.shard, r.chunk_id) for r in full.collect()} == {
             ("a", 0), ("a", 1)
         }
+
+
+class TestLineDedup:
+    def test_corpus_first_occurrence_wins(self, spark):
+        """Duplicate lines keep only their (id, pos)-first occurrence;
+        short exempt lines always survive; docs reassemble in order."""
+        df = spark.createDataFrame(
+            [
+                (0, "alpha beta\nshared line\nx"),
+                (1, "shared line\ngamma\nx"),
+                (2, "shared line\nshared line\ndelta"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.dedup_text, r.n_lines, r.n_kept)
+            for r in dd.line_dedup(df, "doc_id", "text", min_line_len=2).collect()
+        }
+        # 'shared line' first occurs at (0,1); 'x' (len 1) is exempt twice
+        assert out[0] == ("alpha beta\nshared line\nx", 3, 3)
+        assert out[1] == ("gamma\nx", 3, 2)
+        assert out[2] == ("delta", 3, 1)
+
+    def test_within_doc_duplicates_also_collapse(self, spark):
+        df = spark.createDataFrame(
+            [(7, "same\nsame\nsame")], "doc_id long, text string"
+        )
+        row = dd.line_dedup(df, "doc_id", "text").collect()[0]
+        assert (row.dedup_text, row.n_lines, row.n_kept) == ("same", 3, 1)
+
+
+class TestDuplicatedSpans:
+    def test_cross_doc_span_counts(self, spark):
+        """4-gram [1,2,3,4] occurs in docs 0,1 (dup); doc 2 shares nothing;
+        doc 0's repeated internal gram counts every position."""
+        df = spark.createDataFrame(
+            [
+                (0, [1, 2, 3, 4, 9, 1, 2, 3, 4]),  # two windows of 1234
+                (1, [5, 1, 2, 3, 4, 6]),           # one window of 1234
+                (2, [7, 8, 9, 10, 11]),            # unique grams only
+                (3, [1, 2, 3]),                    # too short for n=4
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        got = {
+            r.doc_id: (r.npos, r.dup_pos)
+            for r in dd.duplicated_spans(df, "doc_id", "tokens", n=4).collect()
+        }
+        assert got == {0: (6, 2), 1: (3, 1), 2: (2, 0), 3: (0, 0)}
+
+    def test_n_over_4_rejected(self, spark):
+        df = spark.createDataFrame([(0, [1])], "doc_id long, tokens array<int>")
+        with pytest.raises(ValueError, match="n <= 4"):
+            dd.duplicated_spans(df, "doc_id", "tokens", n=5)
+
+
+class TestTokenFrequencies:
+    def test_counts_and_rank_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [(0, [3, 1, 3]), (1, [1, 2, 3])], "doc_id long, tokens array<int>"
+        )
+        rows = ts.token_frequencies(df, "tokens", top_k=2).collect()
+        got = sorted((r.rank, r.token, r.cnt) for r in rows)
+        # counts: 3→3, 1→2, 2→1; rank ties break token-asc
+        assert got == [(1, 3, 3), (2, 1, 2)]
+        full = {r.token: r.cnt for r in ts.token_frequencies(df, "tokens").collect()}
+        assert full == {1: 2, 2: 1, 3: 3}
