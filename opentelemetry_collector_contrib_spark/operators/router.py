@@ -111,6 +111,22 @@ def route_multicast(
     return df.withColumn(out, F.explode(arr))
 
 
+def lakehouse_format(spark) -> str:
+    """'iceberg' when the Iceberg Spark runtime is on the classpath, else
+    'parquet'. The north rule's sink surface is per-route Iceberg tables;
+    this sandbox ships no Iceberg jars, so the honest behavior is detect →
+    fall back, not pretend. On a real cluster add
+    `--packages org.apache.iceberg:iceberg-spark-runtime-...` and a catalog
+    conf, and every write_routed(fmt='auto') call upgrades in place."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return "iceberg"
+    except Exception:
+        return "parquet"
+
+
 def write_routed(
     df: DataFrame,
     path: str,
@@ -136,6 +152,8 @@ def write_routed(
     (stage retry / speculative execution), duplicating or dropping rows.
     Deterministic salt ⇒ identical output partitioning across retries and
     across runs."""
+    if fmt == "auto":
+        fmt = lakehouse_format(df.sparkSession)
     out = df
     if files_per_route > 0:
         basis = salt_cols or [c for c in df.columns if c != route_col]

@@ -528,3 +528,80 @@ class TestTokenFrequencies:
         assert got == [(1, 3, 3), (2, 1, 2)]
         full = {r.token: r.cnt for r in ts.token_frequencies(df, "tokens").collect()}
         assert full == {1: 2, 2: 1, 3: 3}
+
+
+class TestNewOpsBruteForce:
+    """Seeded random corpus vs pure-Python brute force — one Spark job per
+    operator, exhaustive value equality."""
+
+    def _corpus(self):
+        import random
+
+        rng = random.Random(1234)
+        return [
+            (i, [rng.randrange(0, 30) for _ in range(rng.randrange(0, 40))])
+            for i in range(30)
+        ]
+
+    def test_repetition_stats_matches_brute_force(self, spark):
+        from collections import Counter
+
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        got = {
+            r.doc_id: (r.npos_2, r.top_2, r.dup_2, r.npos_3, r.top_3, r.dup_3)
+            for r in ts.repetition_stats(df, "tokens").collect()
+        }
+        for doc_id, toks in rows:
+            exp = []
+            for n in (2, 3):
+                grams = [tuple(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))]
+                c = Counter(grams)
+                exp += [
+                    len(grams),
+                    max(c.values()) if c else 0,
+                    sum(v for v in c.values() if v > 1),
+                ]
+            assert got[doc_id] == tuple(exp), doc_id
+
+    def test_duplicated_spans_matches_brute_force(self, spark):
+        rows = self._corpus()
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        got = {
+            r.doc_id: (r.npos, r.dup_pos)
+            for r in dd.duplicated_spans(df, "doc_id", "tokens", n=3).collect()
+        }
+        gram_docs: dict[tuple, set] = {}
+        for doc_id, toks in rows:
+            for i in range(max(0, len(toks) - 2)):
+                gram_docs.setdefault(tuple(toks[i : i + 3]), set()).add(doc_id)
+        for doc_id, toks in rows:
+            grams = [tuple(toks[i : i + 3]) for i in range(max(0, len(toks) - 2))]
+            dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+            assert got[doc_id] == (len(grams), dup), doc_id
+
+    def test_line_dedup_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(99)
+        vocab = ["aa", "bb", "cc"]
+        docs = [
+            (i, "\n".join(
+                " ".join(rng.choices(vocab, k=2)) for _ in range(rng.randrange(1, 6))
+            ))
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.dedup_text, r.n_lines, r.n_kept)
+            for r in dd.line_dedup(df, "doc_id", "text").collect()
+        }
+        seen: set[str] = set()
+        for doc_id, text in docs:  # already in (doc_id, pos) order
+            kept = []
+            lines = text.split("\n")
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            assert got[doc_id] == ("\n".join(kept), len(lines), len(kept)), doc_id

@@ -189,3 +189,23 @@ def test_minhash_signature_engines_agree(spark):
          for r in minhash_signature(df, "tokens", 8, engine="jvm").collect()}
     assert a == j
     assert a[1] == (None,) * 8 and a[2] == (None,) * 8
+
+
+def test_write_routed_auto_format_falls_back(spark, tmp_path):
+    """fmt='auto' detects the Iceberg runtime; without the jars it must
+    fall back to parquet (honest sink surface, north rule) and still write
+    per-route directories."""
+    from opentelemetry_collector_contrib_spark.operators.router import (
+        lakehouse_format,
+        write_routed,
+    )
+
+    assert lakehouse_format(spark) == "parquet"  # no Iceberg jars here
+    df = spark.createDataFrame(
+        [(1, "a", "r1"), (2, "b", "r2")], "id long, v string, route string"
+    )
+    out = str(tmp_path / "routed_auto")
+    write_routed(df, out, fmt="auto")
+    back = spark.read.parquet(out)
+    assert back.count() == 2
+    assert {r.route for r in back.select("route").collect()} == {"r1", "r2"}
