@@ -422,7 +422,7 @@ def _scaling_matrix(
         for cores in levels:
             one_slot(cores, rnd)
 
-    extra = int(os.environ.get("SPARK_GRAFT_EXTRA_ROUNDS", "2"))
+    extra = int(os.environ.get("SPARK_GRAFT_EXTRA_ROUNDS", "3"))
     global _probe_wait_spent
     for ex in range(extra):
         best = {c: min(v) for c, v in samples.items()}

@@ -1229,6 +1229,99 @@ FROM freq QUALIFY rank <= {_FREQ_TOP_K}
 """
 
 
+_CURATE_WEIGHTS = {"src0": 0.3, "src1": 0.25, "src2": 0.25, "src3": 0.2}
+_CURATE_TARGET = 120
+_CURATE_SHARDS = 4
+_CURATE_SEED = 7
+
+
+def _q_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data curation chain as ONE plan: exact dedup →
+    Gopher-style quality gate (length + top-bigram repetition) → domain
+    mixture downsample → deterministic shuffle into (shard, pos). Every
+    stage deterministic in (content, seed); 3 exchanges total."""
+    from .plans.curate import curate_corpus
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    out = curate_corpus(
+        toks,
+        "doc_id",
+        "tokens",
+        "source",
+        _CURATE_WEIGHTS,
+        _CURATE_TARGET,
+        _CURATE_SHARDS,
+        seed=_CURATE_SEED,
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        "shard_id",
+        "pos",
+        F.concat_ws("-", F.transform("tokens", lambda t: t.cast("string"))).alias(
+            "toks_str"
+        ),
+    )
+
+
+def _curate_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    v = 50257
+    w_case = (
+        "CASE source "
+        + " ".join(f"WHEN '{k}' THEN {v_}" for k, v_ in _CURATE_WEIGHTS.items())
+        + " ELSE 0.0 END"
+    )
+    rate = (
+        f"LEAST(100.0, (({w_case}) * {float(_CURATE_TARGET)}) / "
+        f"(COUNT(*) OVER (PARTITION BY source)) * 100.0)"
+    )
+    mix = mix32_sql("doc_id", seed=_CURATE_SEED + 1)
+    return _SQL_BASE + f"""
+, dd AS (
+  SELECT doc_id, tokens, n_tok, source,
+         ROW_NUMBER() OVER (PARTITION BY array_to_string(tokens, '-')
+                            ORDER BY doc_id) AS rn
+  FROM base
+), surv AS (
+  SELECT doc_id, tokens, n_tok, source FROM dd WHERE rn = 1
+), e2 AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(tokens)),
+                 i -> tokens[i]*{v}::BIGINT + tokens[i+1])) AS gm
+  FROM surv WHERE len(tokens) >= 2
+), c2 AS (
+  SELECT doc_id, gm, COUNT(*) AS c FROM e2 GROUP BY doc_id, gm
+), s2 AS (
+  SELECT doc_id, MAX(c) AS top_2 FROM c2 GROUP BY doc_id
+), gated AS (
+  SELECT s.doc_id, s.tokens, s.source
+  FROM surv s LEFT JOIN s2 USING (doc_id)
+  WHERE s.n_tok >= 3 AND s.n_tok <= 1000000
+    AND NOT (GREATEST(s.n_tok - 1, 0) > 0
+             AND COALESCE(s2.top_2, 0) * 100 > 50 * GREATEST(s.n_tok - 1, 0))
+), kept AS (
+  SELECT doc_id, source, tokens FROM (
+    SELECT doc_id, source, tokens,
+           {sampler_bucket_sql('doc_id', seed=_CURATE_SEED)} AS bkt,
+           {rate} AS rate_pct
+    FROM gated
+  ) WHERE bkt < rate_pct * {SAMPLER_BUCKETS} / 100.0
+)
+SELECT doc_id, source,
+       CAST({mix} % {_CURATE_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY {mix} % {_CURATE_SHARDS}
+                               ORDER BY {mix}, doc_id) - 1 AS BIGINT) AS pos,
+       array_to_string(tokens, '-') AS toks_str
+FROM kept
+"""
+
+
+_SQL_CURATE = _curate_sql()
+
+
 def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import language_id
 
@@ -2101,6 +2194,7 @@ REGISTRY: list[Query] = [
     Query("line_dedup", _q_line_dedup, _SQL_LINE_DEDUP),
     Query("dup_spans", _q_dup_spans, _SQL_DUP_SPANS),
     Query("token_freq", _q_token_freq, _SQL_TOKEN_FREQ),
+    Query("curate_pipeline", _q_curate, _SQL_CURATE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
 ]

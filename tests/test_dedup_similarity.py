@@ -605,3 +605,44 @@ class TestNewOpsBruteForce:
                     seen.add(ln)
                     kept.append(ln)
             assert got[doc_id] == ("\n".join(kept), len(lines), len(kept)), doc_id
+
+
+class TestCuratePipeline:
+    def test_chain_semantics(self, spark):
+        """Dedup keeps min-id per token array; quality gate drops short and
+        repetitive docs with reasons; full-rate mixture + shuffle keeps the
+        rest with contiguous per-shard positions."""
+        from opentelemetry_collector_contrib_spark.plans.curate import (
+            curate_corpus,
+            quality_gate,
+        )
+
+        rows = [
+            (0, [1, 2, 3, 4], "a"),
+            (1, [1, 2, 3, 4], "a"),    # exact dup of 0 → dropped
+            (2, [5, 5, 5, 5, 5], "a"), # top bigram covers 100% → repetitive
+            (3, [7, 8], "a"),          # too short (<3)
+            (4, [9, 10, 11, 12], "b"), # unweighted domain → mixture drops
+            (5, [13, 14, 15], "a"),
+        ]
+        df = spark.createDataFrame(rows, "id long, tokens array<int>, dom string")
+
+        g = {
+            r.id: (r.keep, r.drop_reason)
+            for r in quality_gate(df, "tokens").collect()
+        }
+        assert g[2] == (False, "repetitive")
+        assert g[3] == (False, "too_short")
+        assert g[0] == (True, None) and g[5] == (True, None)
+
+        out = curate_corpus(
+            df, "id", "tokens", "dom", {"a": 1.0}, 100, 2, seed=3
+        ).collect()
+        kept = {r.id for r in out}
+        assert kept == {0, 5} or kept == {1, 5}  # min-id dedup → {0, 5}
+        assert kept == {0, 5}
+        by_shard: dict[int, list[int]] = {}
+        for r in out:
+            by_shard.setdefault(r.shard_id, []).append(r.pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
