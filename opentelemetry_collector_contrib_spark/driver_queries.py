@@ -1652,6 +1652,46 @@ SELECT * FROM img UNION ALL SELECT * FROM aud
 """
 
 
+def _q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL PNG round-trip (stdlib zlib + numpy, no PIL; cf.
+    reference exporter/fileexporter binary payload handling): token-derived
+    rasters (even doc → 8×8 gray, odd → 4×8 RGB) are ENCODED to genuine
+    PNG bytes with per-scanline filters cycling (row+doc)%5 — so Sub/Up/
+    Average/Paeth all occur in the corpus — then DECODED back inside the
+    same mapInPandas pass. PNG filtering is lossless, so the integer pixel
+    stats are re-derivable from the tokens alone: the decode is correct iff
+    the round-trip is the identity (pix_wsum pins byte order). The
+    compressed size column is excluded (not oracle-derivable)."""
+    from .operators.multimodal import png_features_from_tokens
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return png_features_from_tokens(toks).select(
+        "media_id", "color", "width", "height", "pix_sum", "pix_wsum"
+    )
+
+
+_SQL_PNG_FEATURES = _SQL_BASE + """
+, gray AS (
+  SELECT doc_id AS media_id, 'gray' AS color, 8 AS width, 8 AS height,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> CASE WHEN j <= len(tokens) THEN tokens[j] % 256 ELSE 0 END)) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> CASE WHEN j <= len(tokens) THEN (tokens[j] % 256) * j ELSE 0 END)) AS BIGINT) AS pix_wsum
+  FROM base WHERE doc_id % 2 = 0
+), rgb AS (
+  SELECT doc_id AS media_id, 'rgb' AS color, 8 AS width, 4 AS height,
+         CAST(list_sum(list_transform(range(1, 97),
+           j -> CASE WHEN j <= len(tokens) THEN tokens[j] % 256 ELSE 0 END)) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(range(1, 97),
+           j -> CASE WHEN j <= len(tokens) THEN (tokens[j] % 256) * j ELSE 0 END)) AS BIGINT) AS pix_wsum
+  FROM base WHERE doc_id % 2 = 1
+)
+SELECT * FROM gray UNION ALL SELECT * FROM rgb
+"""
+
+
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OTTL statement sequence over events — parity evidence for
     the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
@@ -2173,6 +2213,7 @@ REGISTRY: list[Query] = [
     Query("ivf_topk", _q_ivf_topk, _SQL_IVF_TOPK),
     Query("lsh_topk_multi", _q_lsh_topk_multi, _SQL_LSH_TOPK_MULTI),
     Query("media_features", _q_media_features, _SQL_MEDIA_FEATURES),
+    Query("png_features", _q_png_features, _SQL_PNG_FEATURES),
     Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
     Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),

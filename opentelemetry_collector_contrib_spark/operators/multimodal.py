@@ -4,10 +4,12 @@ The Spark-side plumbing (schema, partition strategy, Arrow batch shape,
 UDF signatures) is real and tested. Codec coverage is split honestly:
 
 - REAL decoders (stdlib/numpy only, no external libs): PGM/PPM images
-  (P2/P3 ASCII, P5/P6 binary — pure parsing) and RIFF/PCM WAV audio
-  (stdlib ``wave``). ``decode_and_featurize_real`` runs them distributed
-  over mapInPandas and extracts pixel/sample-domain features.
-- STUBBED codecs (JPEG/PNG/MP3/H.264 — would need PIL/ffmpeg, not in this
+  (P2/P3 ASCII, P5/P6 binary — pure parsing), PNG (8-bit gray/RGB:
+  chunk walk + ``zlib`` inflate + vectorized numpy unfilter of all five
+  scanline filters), and RIFF/PCM WAV audio (stdlib ``wave``).
+  ``decode_and_featurize_real`` runs them distributed over mapInPandas
+  and extracts pixel/sample-domain features.
+- STUBBED codecs (JPEG/MP3/H.264 — would need PIL/ffmpeg, not in this
   container): dispatch raises NotImplementedError; ``fake=True`` swaps in a
   deterministic stand-in so the plumbing is exercisable for any mime.
 
@@ -107,6 +109,185 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
         w.setframerate(rate)
         w.writeframes(samples.astype("<i2").tobytes())
     return buf.getvalue()
+
+
+# ------------------------------------------------------------------- PNG
+# 8-bit greyscale / RGB PNG, stdlib zlib + numpy only. The encoder applies
+# a caller-chosen filter per scanline (default cycles None/Sub/Up/Average/
+# Paeth) so a decode round-trip exercises every unfilter branch; filtering
+# is lossless, so decoded pixels equal the input exactly — which is what
+# makes a PNG round-trip SQL-oracle-checkable from the source tokens.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec §9.4), vectorized over a scanline."""
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    return np.where(
+        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+    ).astype(np.uint8)
+
+
+def encode_png(pixels: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """(h, w) gray or (h, w, 3) RGB uint8 → PNG bytes (bit depth 8, no
+    interlace). ``filters`` picks the filter type per scanline (0..4);
+    default cycles 0,1,2,3,4 so decoding exercises every unfilter path."""
+    import zlib
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        h, w = px.shape
+        color_type, bpp = 0, 1
+        raw = px
+    elif px.ndim == 3 and px.shape[2] == 3:
+        h, w, _ = px.shape
+        color_type, bpp = 2, 3
+        raw = px.reshape(h, w * 3)
+    else:
+        raise ValueError(f"encode_png: unsupported shape {px.shape}")
+    if filters is None:
+        filters = [r % 5 for r in range(h)]
+    stride = raw.shape[1]
+    # shifted views: left = recon[x-bpp] (zeros at x<bpp), up = prior row
+    left = np.zeros_like(raw)
+    left[:, bpp:] = raw[:, :-bpp]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    out = bytearray()
+    for r in range(h):
+        f = int(filters[r])
+        row = raw[r].astype(np.int16)
+        if f == 0:
+            filt = raw[r]
+        elif f == 1:
+            filt = (row - left[r]).astype(np.uint8)
+        elif f == 2:
+            filt = (row - up[r]).astype(np.uint8)
+        elif f == 3:
+            filt = (row - ((left[r].astype(np.int16) + up[r]) >> 1)).astype(np.uint8)
+        elif f == 4:
+            ul = np.zeros(stride, dtype=np.uint8)
+            if r > 0:
+                ul[bpp:] = raw[r - 1, :-bpp]
+            filt = (row - _paeth(left[r], up[r], ul)).astype(np.uint8)
+        else:
+            raise ValueError(f"encode_png: bad filter {f}")
+        out.append(f)
+        out += filt.tobytes()
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → uint8 array, (h, w) gray or (h, w, 3) RGB. Supports bit depth
+    8, color types 0/2, no interlace — the subset ``encode_png`` emits and
+    the common web-scrape case. Chunk CRCs are verified; unfiltering is
+    numpy-vectorized where the recurrence allows (Up fully; Sub via
+    per-lane modular cumsum); Average/Paeth carry a true sequential
+    dependency on recon[x-bpp] so they walk the scanline byte-wise —
+    acceptable because scanlines are short relative to row count and the
+    decode itself is distributed across mapInPandas tasks."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(payload[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            depth, color_type, comp, filt, interlace = body[8:13]
+            if depth != 8 or color_type not in (0, 2):
+                raise ValueError(
+                    f"PNG depth={depth} color_type={color_type} not supported "
+                    "(8-bit gray/RGB only)"
+                )
+            if comp or filt or interlace:
+                raise ValueError("PNG interlace/nonzero method not supported")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    bpp = 3 if color_type == 2 else 1
+    stride = w * bpp
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG raster size mismatch")
+    data = data.reshape(h, stride + 1)
+    ftypes = data[:, 0]
+    rows = data[:, 1:].astype(np.int16)  # headroom for additive unfilter
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        f = int(ftypes[r])
+        row = rows[r]
+        if f == 0:
+            cur = row.astype(np.uint8)
+        elif f == 1:
+            # recon[x] = raw[x] + recon[x-bpp]: per-lane prefix sum mod 256
+            cur = np.empty(stride, dtype=np.uint8)
+            for lane in range(bpp):
+                cur[lane::bpp] = (
+                    np.cumsum(row[lane::bpp].astype(np.int64)) % 256
+                ).astype(np.uint8)
+        elif f == 2:
+            cur = ((row + prev) % 256).astype(np.uint8)
+        elif f == 3:
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:
+            cur = np.empty(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG bad filter type {f}")
+        recon[r] = cur
+        prev = cur
+    return recon.reshape((h, w, 3) if color_type == 2 else (h, w))
 
 
 def decode_netpbm(payload: bytes) -> np.ndarray:
@@ -210,8 +391,9 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
             for mid, payload, mime in zip(
                 pdf["media_id"], pdf["payload"], pdf["mime"]
             ):
-                if mime in ("image/x-portable-graymap", "image/x-portable-pixmap"):
-                    img = decode_netpbm(bytes(payload))
+                if mime in ("image/x-portable-graymap", "image/x-portable-pixmap", "image/png"):
+                    decode = decode_png if mime == "image/png" else decode_netpbm
+                    img = decode(bytes(payload))
                     h, w = img.shape[:2]
                     rows.append(
                         dict(media_id=mid, kind="image", width=w, height=h,
@@ -237,16 +419,25 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
 
 
 def synthetic_real_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
-    """Corpus of GENUINE encoded bytes: even ids → binary PGM images (8×8
-    deterministic gradient), odd ids → WAV audio (8 kHz sine, id-dependent
-    frequency). Exercises the real decoders distributed."""
+    """Corpus of GENUINE encoded bytes: even ids → images (ids ≡0 mod 4:
+    binary PGM 8×8 gradient; ids ≡2 mod 4: PNG RGB with cycling scanline
+    filters), odd ids → WAV audio (8 kHz sine, id-dependent frequency).
+    Exercises every real decoder distributed."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i in pdf["id"]:
                 i = int(i)
-                if i % 2 == 0:
+                if i % 4 == 2:
+                    base = ((np.add.outer(np.arange(8), np.arange(8)) * (i + 3)) % 256).astype(np.uint8)
+                    px = np.stack([base, base[::-1], base.T], axis=2)
+                    rows.append(
+                        dict(media_id=i, payload=encode_png(px),
+                             mime="image/png",
+                             meta=dict(width=8, height=8, duration_ms=None, codec="png"))
+                    )
+                elif i % 2 == 0:
                     px = ((np.add.outer(np.arange(8), np.arange(8)) * (i + 3)) % 256).astype(np.uint8)
                     rows.append(
                         dict(media_id=i, payload=encode_pgm(px),
@@ -325,6 +516,62 @@ def media_features_from_tokens(
             ])
 
     return df.mapInPandas(gen, MEDIA_STATS_SCHEMA)
+
+
+PNG_STATS_SCHEMA = (
+    "media_id long, color string, width int, height int, n_png_bytes int, "
+    "pix_sum long, pix_wsum long"
+)
+
+
+def png_features_from_tokens(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Oracle-checkable distributed PNG round-trip: build a GENUINE PNG per
+    document from its tokens (even ids → 8×8 grayscale, pixel j =
+    tokens[j]%256; odd ids → 4×8 RGB, byte j = tokens[j]%256, both
+    zero-padded), encode with per-row filter types cycling (row+doc_id)%5
+    so Sub/Up/Average/Paeth all occur in the corpus, then decode with the
+    zlib+numpy decoder and emit integer stats of the DECODED raster.
+    PNG filtering is lossless, so every stat is re-derivable from the
+    tokens alone by a SQL engine — the decode is correct iff the
+    round-trip is the identity (the weighted sum pins byte order).
+    n_png_bytes (the compressed file size) is NOT oracle-derivable and is
+    deliberately excluded from the driver query's projection."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, toks in zip(pdf[id_col], pdf[tokens_col]):
+                mid = int(mid)
+                t = np.asarray(toks, dtype=np.int64)
+                if mid % 2 == 0:
+                    buf = np.zeros(64, dtype=np.uint8)
+                    m = min(64, len(t))
+                    buf[:m] = (t[:m] % 256).astype(np.uint8)
+                    px, color = buf.reshape(8, 8), "gray"
+                else:
+                    buf = np.zeros(96, dtype=np.uint8)
+                    m = min(96, len(t))
+                    buf[:m] = (t[:m] % 256).astype(np.uint8)
+                    px, color = buf.reshape(4, 8, 3), "rgb"
+                h = px.shape[0]
+                payload = encode_png(px, filters=[(r + mid) % 5 for r in range(h)])
+                img = decode_png(payload)
+                flat = img.reshape(-1).astype(np.int64)
+                rows.append(dict(
+                    media_id=mid, color=color,
+                    width=img.shape[1], height=img.shape[0],
+                    n_png_bytes=len(payload),
+                    pix_sum=int(flat.sum()),
+                    pix_wsum=int((flat * np.arange(1, len(flat) + 1)).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "color", "width", "height", "n_png_bytes",
+                "pix_sum", "pix_wsum",
+            ])
+
+    return df.mapInPandas(gen, PNG_STATS_SCHEMA)
 
 
 def decode_and_featurize(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -205,8 +205,25 @@ def token_frequencies(
     )
     if top_k is None:
         return freq
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    return (
-        freq.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= top_k)
+    # orderBy().limit() compiles to TakeOrderedAndProject — a per-partition
+    # top-k merged once, never a global sort / single-partition WindowExec
+    # over the whole vocab (byte-level vocabs are small, but a BPE/unicode
+    # vocab need not be). Ranks over the ≤top_k survivors are assigned
+    # window-free: pack into ONE sorted array (struct comparison on
+    # (-cnt, token) == cnt desc, token asc) and posexplode — no WindowExec,
+    # no empty-partition-spec warning, fully deterministic.
+    head = freq.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(top_k)
+    packed = head.select(
+        F.struct(
+            (-F.col("cnt")).alias("nc"),
+            F.col("token").alias("token"),
+            F.col("cnt").alias("cnt"),
+        ).alias("s")
+    ).agg(F.sort_array(F.collect_list("s")).alias("arr"))
+    return packed.select(
+        F.posexplode("arr").alias("pos", "s")
+    ).select(
+        F.col("s.token").alias("token"),
+        F.col("s.cnt").alias("cnt"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )

@@ -648,6 +648,24 @@ class Compiler:
         raise ValueError(f"unknown OTTL editor {name!r}")
 
 
+def _map_entries_last_win(entries: Column) -> Column:
+    """map_from_entries with the reference's upsert semantics: on duplicate
+    keys the LAST writer wins (`func_flatten.go` builds the result via
+    pcommon.Map.PutEmpty, which overwrites), instead of throwing under
+    Spark's default spark.sql.mapKeyDedupPolicy=EXCEPTION — a legal
+    reference input like {"a.b": 1, "a": {"b": 2}} must flatten, not crash.
+    O(n²) per row in the entry count; attribute maps are small by
+    construction."""
+    return F.aggregate(
+        entries,
+        F.create_map().cast("map<string,string>"),
+        lambda acc, e: F.map_concat(
+            F.map_filter(acc, lambda k, _v: k != e["key"]),
+            F.create_map(e["key"], e["value"]),
+        ),
+    )
+
+
 def _flatten_level(m: Column) -> Column:
     """One flatten level over map<string,string>: entries whose value is a
     JSON object become child entries keyed key.childkey; JSON arrays become
@@ -678,7 +696,7 @@ def _flatten_level(m: Column) -> Column:
             .otherwise(single)
         )
 
-    return F.map_from_entries(F.flatten(F.transform(F.map_entries(m), expand)))
+    return _map_entries_last_win(F.flatten(F.transform(F.map_entries(m), expand)))
 
 
 def compile_statement(df: DataFrame, text: str, ctx: LogContext | None = None) -> DataFrame:

@@ -257,6 +257,64 @@ class TestRealCodecs:
         with pytest.raises(ValueError):
             mm.decode_netpbm(b"JFIF....")
 
+    def test_png_roundtrip_every_filter(self):
+        """stdlib-zlib PNG codec: encode with each single filter type and
+        with the cycling default; decode must reproduce pixels exactly for
+        gray and RGB (filtering is lossless)."""
+        from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+        rng = np.random.default_rng(7)
+        gray = rng.integers(0, 256, size=(11, 13), dtype=np.uint8)
+        rgb = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+        for px in (gray, rgb):
+            h = px.shape[0]
+            for f in range(5):  # force one filter type for ALL scanlines
+                payload = mm.encode_png(px, filters=[f] * h)
+                assert (mm.decode_png(payload) == px).all(), f"filter {f}"
+            assert (mm.decode_png(mm.encode_png(px)) == px).all()  # cycling
+
+    def test_png_rejects_corrupt_and_unsupported(self):
+        from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        payload = bytearray(mm.encode_png(px))
+        with pytest.raises(ValueError, match="not a PNG"):
+            mm.decode_png(b"JFIF" + bytes(payload))
+        payload[40] ^= 0xFF  # flip a byte inside IDAT → CRC mismatch
+        with pytest.raises(ValueError, match="CRC"):
+            mm.decode_png(bytes(payload))
+        # 16-bit / palette PNGs are out of the supported subset
+        ihdr = (8).to_bytes(4, "big") + (8).to_bytes(4, "big") + bytes([16, 0, 0, 0, 0])
+        bad = mm._PNG_SIG + mm._png_chunk(b"IHDR", ihdr) + mm._png_chunk(b"IEND", b"")
+        with pytest.raises(ValueError, match="not supported"):
+            mm.decode_png(bad)
+
+    def test_png_features_distributed(self, spark):
+        """png_features_from_tokens builds a genuine PNG per doc inside
+        mapInPandas and re-decodes it; stats equal the token-derived pixels
+        (hand-recomputed here), proving the distributed round-trip is the
+        identity."""
+        from opentelemetry_collector_contrib_spark.operators import multimodal as mm
+
+        data = [
+            (0, [300, 1, 2, 255]),          # even → 8x8 gray, zero-padded
+            (1, list(range(200))),          # odd → 4x8 RGB (96 bytes)
+            (2, []),                        # empty doc → all-zero raster
+            (3, [97] * 500),                # odd, truncated at 96
+        ]
+        df = spark.createDataFrame(data, "doc_id long, tokens array<long>")
+        rows = {r.media_id: r for r in mm.png_features_from_tokens(df).collect()}
+        assert len(rows) == 4
+        for mid, toks in data:
+            n = 64 if mid % 2 == 0 else 96
+            buf = [(t % 256) for t in toks[:n]] + [0] * max(0, n - len(toks))
+            r = rows[mid]
+            assert r.color == ("gray" if mid % 2 == 0 else "rgb")
+            assert (r.width, r.height) == ((8, 8) if mid % 2 == 0 else (8, 4))
+            assert r.pix_sum == sum(buf)
+            assert r.pix_wsum == sum(v * (j + 1) for j, v in enumerate(buf))
+            assert r.n_png_bytes > len(mm._PNG_SIG)
+
     def test_wav_roundtrip(self):
         from opentelemetry_collector_contrib_spark.operators import multimodal as mm
 

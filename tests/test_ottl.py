@@ -325,3 +325,22 @@ def test_flatten_editor(spark):
     assert d2 == {"a.b.c": "x"}
     with pytest.raises(ValueError, match="negative"):
         compile_statement(two, 'flatten(attributes, "", -1)')
+    # key collision: a literal 'a.b' plus nested a:{"b":...} — the reference
+    # upserts via pcommon.Map.PutEmpty (last writer wins), so this must
+    # flatten, not throw under mapKeyDedupPolicy=EXCEPTION. Flattened
+    # children expand in entry order after the literal key, so the nested
+    # value wins.
+    coll = spark.createDataFrame(
+        [("b", {"a.b": "literal", "a": '{"b":"nested"}'})], sch)
+    got = compile_statement(coll, "flatten(attributes)").collect()[0].attributes
+    assert got == {"a.b": "nested"}
+    # last-win determinism on a guaranteed-order input (array literal)
+    from opentelemetry_collector_contrib_spark.ottl.compiler import (
+        _map_entries_last_win,
+    )
+    ent = F.array(*[
+        F.struct(F.lit(k).alias("key"), F.lit(v).alias("value"))
+        for k, v in [("k", "v1"), ("other", "x"), ("k", "v2")]
+    ])
+    m = spark.range(1).select(_map_entries_last_win(ent).alias("m")).first().m
+    assert m == {"k": "v2", "other": "x"}
