@@ -197,7 +197,11 @@ def minhash_signature(
                 h = luts[i][vals]  # one L2-hit gather per token
                 sentinel = np.int32(MERSENNE)
             else:
-                h = (vals * a_consts[i] + b_consts[i]) % MERSENNE
+                # np.fmod keeps the dividend's sign (C semantics) — exactly
+                # Java/Spark `%` — where numpy `%` follows the divisor; the
+                # fallback fires precisely when tokens may be negative, so
+                # plain `%` would break the documented arrow≡jvm bit-identity
+                h = np.fmod(vals * a_consts[i] + b_consts[i], MERSENNE)
                 sentinel = np.int64(MERSENNE)
             if drop is not None:
                 h[drop] = sentinel

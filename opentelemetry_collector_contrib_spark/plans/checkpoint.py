@@ -62,6 +62,20 @@ class CheckpointedRunner:
         fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
         if not fs.exists(jvm_path):
             return set()
+        # A dir that exists but holds no committed parquet part (crash after
+        # mkdir before the first commit, or a leftover _temporary-only dir)
+        # is the same "nothing committed yet" state — resume from zero
+        # instead of raising AnalysisException on an unreadable listing.
+        # Genuine IO/permission errors still propagate from the listing.
+        it = fs.listFiles(jvm_path, True)
+        has_part = False
+        while it.hasNext():
+            name = it.next().getPath().getName()
+            if name.endswith(".parquet") and not name.startswith(("_", ".")):
+                has_part = True
+                break
+        if not has_part:
+            return set()
         return {
             r.chunk_id
             for r in spark.read.parquet(path).select("chunk_id").distinct().collect()

@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
-def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_log_lines(
+    spark: SparkSession,
+    path: str,
+    max_file_bytes: int | None = 256 << 20,
+) -> DataFrame:
     """One row per line with (file, offset) provenance. The offset is the
     line ordinal within its file — resume coordinates at dataset granularity.
 
@@ -30,14 +34,48 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     multiple splits plus a reader change could scramble multiline framing.
     One task per file mirrors the reference's contract anyway (a filelog
     file is consumed by a single reader goroutine, fileconsumer/reader);
-    parallelism comes from many files, and huge single files belong to the
-    streaming reader's chunked path."""
+    parallelism comes from many files.
+
+    wholetext means one JVM string per file, so a single multi-GB file
+    would OOM its task: files larger than ``max_file_bytes`` are routed to
+    ``read_log_lines_chunked`` (byte-range tasks, bounded memory) with
+    ordinal offsets, so the output contract is identical and multiline
+    framing across chunk seams stays intact. The guard costs one
+    metadata-only listing (binaryFile, content pruned); pass None to skip
+    it and assert all files fit."""
+    if max_file_bytes is not None:
+        meta = (
+            spark.read.format("binaryFile").load(path)
+            .select("path", "length").collect()
+        )
+        big = [r.path for r in meta if int(r.length) > max_file_bytes]
+        if big:
+            small = [
+                r.path for r in meta
+                if 0 < int(r.length) <= max_file_bytes
+            ]
+            chunked = read_log_lines_chunked(
+                spark, big, chunk_bytes=min(max_file_bytes, 64 << 20),
+                offsets="ordinal",
+            )
+            if not small:
+                return chunked
+            return _read_log_lines_wholetext(spark, small).unionByName(chunked)
+    return _read_log_lines_wholetext(spark, path)
+
+
+def _read_log_lines_wholetext(
+    spark: SparkSession, path: "str | list[str]"
+) -> DataFrame:
     raw = (
         spark.read.text(path, wholetext=True)
         .select(F.col("value"), F.input_file_name().alias("file"))
         .filter(F.length(F.col("value")) > 0)  # empty file → no lines
     )
-    arr = F.split(F.col("value"), "\n")
+    # split on \r\n | \r | \n — the same terminators Hadoop's
+    # LineRecordReader recognizes, so CRLF (and legacy CR) log files yield
+    # clean lines with no trailing '\r' to break anchored parsers (ADVICE r03)
+    arr = F.split(F.col("value"), "\r\n|\r|\n")
     # spark.read.text emits no empty trailing line for "a\nb\n" — drop the
     # split artifact only when the file ends with a newline
     arr = F.when(
@@ -47,6 +85,145 @@ def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
     return raw.select(
         "file", F.posexplode(arr).alias("offset", "line")
     ).select("line", "file", "offset")
+
+
+def read_log_lines_chunked(
+    spark: SparkSession,
+    path: str,
+    chunk_bytes: int = 64 << 20,
+    offsets: str = "byte",
+) -> DataFrame:
+    """Byte-range chunked line reader for files too large for one task —
+    the batch analog of Hadoop's TextInputFormat split contract, built the
+    Spark-idiomatic way: a driver-side listing (`binaryFile` metadata only
+    — content column pruned, nothing is read) plans (file, start, end)
+    range tasks, and each task reads ONLY its range via ``pyarrow.fs``
+    (local/HDFS/S3 URIs alike) inside mapInPandas, so per-task memory is
+    bounded by ``chunk_bytes`` + the longest line, never by file size.
+
+    Seam correctness (fileconsumer contract: no line lost, none duplicated):
+    a chunk owns exactly the lines whose FIRST byte falls in [start, end).
+    Each task reads one lookback byte (is ``start`` a line start?) and
+    extends its final line past ``end`` in bounded continuation reads until
+    the terminator — identical to LineRecordReader's read-one-past-split
+    rule. '\\n' terminates; a trailing '\\r' is stripped, so CRLF files and
+    terminators split across the seam both frame correctly.
+
+    offsets='byte' (default, ONE pass): `offset` is the line's absolute
+    byte position — exact, monotone per file, valid as a recombine/framing
+    ordering key and matching the reference checkpoint's (Fingerprint,
+    Offset) coordinates (pkg/stanza/fileconsumer reader.go offsets are
+    bytes too). offsets='ordinal': line ordinals matching read_log_lines,
+    derived without any big shuffle — per-chunk line counts (tiny: one row
+    per chunk) get a cumulative base via a window over chunk ids, broadcast
+    back; costs a second read of the ranges."""
+    if offsets not in ("byte", "ordinal"):
+        raise ValueError(f"offsets must be 'byte' or 'ordinal', got {offsets!r}")
+    from typing import Iterator
+
+    import pandas as pd
+
+    meta = (
+        spark.read.format("binaryFile").load(path)
+        .select("path", "length")
+        .collect()
+    )
+    tasks = [
+        (r.path, ci, s, min(s + chunk_bytes, int(r.length)))
+        for r in meta
+        if int(r.length) > 0
+        for ci, s in enumerate(range(0, int(r.length), chunk_bytes))
+    ]
+    if not tasks:
+        return spark.createDataFrame(
+            [], "line string, file string, offset long"
+        )
+    n_part = min(len(tasks), spark.sparkContext.defaultParallelism * 4)
+    tasks_df = spark.createDataFrame(
+        tasks, "file string, chunk long, start long, end long"
+    ).repartition(n_part, "file", "chunk")
+
+    def gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pyarrow.fs as pafs
+
+        for pdf in batches:
+            files, chunks, idxs, offs, lines = [], [], [], [], []
+            for file, chunk, start, end in zip(
+                pdf["file"], pdf["chunk"], pdf["start"], pdf["end"]
+            ):
+                start, end = int(start), int(end)
+                fsys, p = pafs.FileSystem.from_uri(file)
+                with fsys.open_input_file(p) as f:
+                    lb = 1 if start > 0 else 0
+                    f.seek(start - lb)
+                    buf = f.read(end - start + lb)
+                    # absolute line-start positions owned by this chunk:
+                    # 0, and every position right after a '\n'
+                    starts = []
+                    if start == 0:
+                        starts.append(0)
+                    base = start - lb
+                    i = buf.find(b"\n")
+                    while i != -1:
+                        s = base + i + 1
+                        if s >= end:
+                            break
+                        if s >= start:
+                            starts.append(s)
+                        i = buf.find(b"\n", i + 1)
+                    for j, s in enumerate(starts):
+                        rel = s - base
+                        nl = buf.find(b"\n", rel)
+                        if nl != -1:
+                            raw = buf[rel:nl]
+                        else:
+                            # final line crosses the seam: bounded
+                            # continuation reads until terminator or EOF
+                            raw = bytearray(buf[rel:])
+                            while True:
+                                block = f.read(1 << 22)
+                                if not block:
+                                    break
+                                k = block.find(b"\n")
+                                if k != -1:
+                                    raw += block[:k]
+                                    break
+                                raw += block
+                            raw = bytes(raw)
+                        if raw.endswith(b"\r"):
+                            raw = raw[:-1]
+                        files.append(file)
+                        chunks.append(int(chunk))
+                        idxs.append(j)
+                        offs.append(s)
+                        lines.append(raw.decode("utf-8", errors="replace"))
+            yield pd.DataFrame(
+                dict(line=lines, file=files, chunk=chunks, idx=idxs,
+                     byte_offset=offs)
+            )
+
+    out = tasks_df.mapInPandas(
+        gen, "line string, file string, chunk long, idx long, byte_offset long"
+    )
+    if offsets == "byte":
+        return out.select(
+            "line", "file", F.col("byte_offset").alias("offset")
+        )
+    from pyspark.sql.window import Window
+
+    counts = out.groupBy("file", "chunk").agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("file")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = counts.withColumn(
+        "base", F.coalesce(F.sum("n").over(w), F.lit(0))
+    ).select("file", "chunk", "base")
+    return (
+        out.join(F.broadcast(bases), on=["file", "chunk"])
+        .select("line", "file", (F.col("base") + F.col("idx")).alias("offset"))
+    )
 
 
 def read_multiline(

@@ -67,6 +67,22 @@ def test_rerun_is_noop(spark, tokens_path, tmp_path):
     assert len(r.completed_chunks(spark)) == ck1
 
 
+def test_empty_checkpoint_dir_resumes_from_zero(spark, tokens_path, tmp_path):
+    """A checkpoint dir that EXISTS but holds no committed parquet part —
+    crash after mkdir before the first commit, or a leftover
+    _temporary-only dir — must read as 'no chunks committed' and let run()
+    restart from zero, not raise AnalysisException (ADVICE r03)."""
+    import os
+
+    out = str(tmp_path / "out_empty")
+    r = CheckpointedRunner(out, _pipeline, files_per_chunk=4)
+    os.makedirs(f"{out}/checkpoint/_temporary/0", exist_ok=True)
+    assert r.completed_chunks(spark) == set()
+    r.run(spark, tokens_path)  # full run from scratch
+    assert r.routed(spark).count() == N
+    assert len(r.completed_chunks(spark)) > 0
+
+
 def test_uncommitted_chunk_invisible(spark, tokens_path, tmp_path):
     """A chunk whose data write landed but whose checkpoint row never did
     (crash between commit step 1 and step 2) must be invisible to readers

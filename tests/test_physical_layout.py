@@ -180,6 +180,7 @@ def test_minhash_signature_engines_agree(spark):
         (3, [7]),
         (4, [123456789, 5]),  # out-of-vocab → mod fallback
         (5, list(range(200))),
+        (6, [-3, -2147483648, 9]),  # negative tokens: Java-% vs numpy-%
     ]
     df = spark.createDataFrame(rows, sch)
     cols = [f"mh{i}" for i in range(8)]
