@@ -210,3 +210,48 @@ def test_write_routed_auto_format_falls_back(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 2
     assert {r.route for r in back.select("route").collect()} == {"r1", "r2"}
+
+
+def test_pack_and_shuffle_single_exchange(spark):
+    """Round-3 invariant (VERDICT r03 next-round #8): sequence packing and
+    the deterministic global shuffle each move data EXACTLY once — the
+    doc-offset window and the chunk groupBy reuse one hash partitioning;
+    the shard window reuses the shard exchange."""
+    from opentelemetry_collector_contrib_spark.operators.packing import (
+        deterministic_shuffle,
+        pack_sequences,
+    )
+
+    t = tokens_df(spark, 2000, num_partitions=4)
+    packed = pack_sequences(t, "source", "doc_id", "tokens", seq_len=64)
+    plan = _executed_plan(packed)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"pack_sequences plans {n} exchanges:\n{plan[:2000]}"
+
+    shuffled = deterministic_shuffle(t, F.col("doc_id"), 8, seed=3)
+    plan2 = _executed_plan(shuffled)
+    n2 = plan2.count("Exchange hashpartitioning")
+    assert n2 == 1, f"deterministic_shuffle plans {n2} exchanges:\n{plan2[:2000]}"
+
+
+def test_curate_corpus_shuffle_budget(spark):
+    """The end-to-end curation chain (dedup → quality gate → mixture →
+    det-shuffle) composes into ONE plan whose only exchanges are the
+    (hash,id) dedup projection and the final shard exchange — ≤2 total.
+    At 100 TB these are the only two movements of the corpus."""
+    from opentelemetry_collector_contrib_spark.plans.curate import curate_corpus
+    from opentelemetry_collector_contrib_spark.sources.render import row_idx_col
+
+    t = tokens_df(spark, 2000, num_partitions=4).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        "tokens",
+        F.concat(F.lit("src"), F.pmod(F.xxhash64("doc_id"), F.lit(4))).alias("source"),
+    )
+    out = curate_corpus(
+        t, "doc_id", "tokens", "source",
+        {"src0": 0.3, "src1": 0.25, "src2": 0.25, "src3": 0.2},
+        target_total=200, num_shards=4, seed=7,
+    )
+    plan = _executed_plan(out)
+    n = plan.count("Exchange hashpartitioning")
+    assert n <= 2, f"curate_corpus plans {n} exchanges:\n{plan[:3000]}"

@@ -80,3 +80,28 @@ def test_recombine_shuffle_budget():
         # the two-level prefix sum buys skew-safety with two extra SMALL
         # exchanges (per-chunk counts + offsets); bound it so it can't grow
         assert rows["recombine_skew"]["shuffles"] <= 5, rows["recombine_skew"]
+
+
+def test_round3_op_shuffle_budgets():
+    """Freeze the round-3 shuffle budgets (VERDICT r03 next-round #8):
+    line_dedup reassembles with 2 exchanges (by line + by id), dup_spans
+    plans 3 (inverted-index group, min_docs broadcast-back, per-doc
+    reassembly; payloads never shuffle), the curation chain composes to 2,
+    packing/shuffle move data once. Regenerate PLANS.md after any
+    intentional change; a higher count is a regression."""
+    rows, _ = _rows()
+    budgets = {
+        "line_dedup": 2,
+        "dup_spans": 3,
+        "curate_pipeline": 2,
+        "pack_sequences": 1,
+        "det_shuffle": 1,
+    }
+    missing = [n for n in budgets if n not in rows]
+    assert not missing, f"PLANS.md missing rows {missing}"
+    over = {
+        n: (rows[n]["shuffles"], cap)
+        for n, cap in budgets.items()
+        if rows[n]["shuffles"] > cap
+    }
+    assert not over, f"shuffle budget exceeded (actual, cap): {over}"
