@@ -2174,6 +2174,144 @@ GROUP BY event_type, date_trunc('day', ts)
 """
 
 
+def _q_journald_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """journald export-format parse (`pkg/stanza/operator/input/journald/
+    input.go:172-214`): ``journalctl -o json`` lines synthesized
+    deterministically from the events table, parsed by `journald_parser` —
+    timestamp from __REALTIME_TIMESTAMP (µs, removed from body), cursor from
+    __CURSOR (kept in body, as the reference does), remaining fields as the
+    body map. n_body proves the map semantics (5 synthesized fields − the
+    deleted timestamp = 4)."""
+    from .operators.parse import journald_parser
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit('{"__CURSOR":"s=deadbeef;i='), F.col("event_id").cast("string"),
+            F.lit('","__REALTIME_TIMESTAMP":"'),
+            (F.lit(1700000000000000) + F.col("event_id")).cast("string"),
+            F.lit('","PRIORITY":"'), (F.col("event_id") % 8).cast("string"),
+            F.lit('","_SYSTEMD_UNIT":"u'), (F.col("event_id") % 5).cast("string"),
+            F.lit('.service","MESSAGE":"evt '), F.col("event_type"), F.lit('"}'),
+        ).alias("line"),
+    )
+    out = journald_parser(lines, "line")
+    return out.select(
+        "event_id",
+        "ts_unix_us",
+        "cursor",
+        F.element_at("body", "PRIORITY").cast("int").alias("priority"),
+        F.element_at("body", "_SYSTEMD_UNIT").alias("unit"),
+        F.element_at("body", "MESSAGE").alias("message"),
+        F.size("body").cast("int").alias("n_body"),
+    )
+
+
+_SQL_JOURNALD = """
+WITH lines AS (
+  SELECT event_id,
+         '{"__CURSOR":"s=deadbeef;i=' || event_id
+           || '","__REALTIME_TIMESTAMP":"' || (1700000000000000 + event_id)
+           || '","PRIORITY":"' || (event_id % 8)
+           || '","_SYSTEMD_UNIT":"u' || (event_id % 5)
+           || '.service","MESSAGE":"evt ' || event_type || '"}' AS line
+  FROM events
+)
+SELECT event_id,
+       CAST(json_extract_string(line, '$.__REALTIME_TIMESTAMP') AS BIGINT) AS ts_unix_us,
+       json_extract_string(line, '$.__CURSOR') AS cursor,
+       CAST(json_extract_string(line, '$.PRIORITY') AS INT) AS priority,
+       json_extract_string(line, '$._SYSTEMD_UNIT') AS unit,
+       json_extract_string(line, '$.MESSAGE') AS message,
+       CAST(len(json_keys(line)) - 1 AS INT) AS n_body
+FROM lines
+"""
+
+
+def _q_wineventlog_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windows Event Log rendered-XML parse (`input/windows/xml.go`): event
+    XML synthesized deterministically from the events table — even event_ids
+    carry RenderingInfo (rendered level/message win, xml.go:82-90), odd ones
+    only the numeric System Level (fallback mapping 1/2/3/4 →
+    FATAL/ERROR/WARN/INFO, xml.go:63-77). EventData Data[@Name] pairs → map."""
+    from .operators.parse import wineventlog_parser
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    lvl = (F.col("event_id") % 6).cast("string")
+    rendered_level = (
+        F.when(F.col("event_id") % 6 == 1, "Critical")
+        .when(F.col("event_id") % 6 == 2, "Error")
+        .when(F.col("event_id") % 6 == 3, "Warning")
+        .when(F.col("event_id") % 6 == 4, "Information")
+        .otherwise("Verbose")
+    )
+    rendering = F.when(
+        F.col("event_id") % 2 == 0,
+        F.concat(
+            F.lit("<RenderingInfo Culture=\"en-US\"><Message>msg "),
+            F.col("event_type"),
+            F.lit("</Message><Level>"), rendered_level, F.lit("</Level></RenderingInfo>"),
+        ),
+    ).otherwise(F.lit(""))
+    xml = F.concat(
+        F.lit('<Event xmlns="http://schemas.microsoft.com/win/2004/08/events/event"><System>'),
+        F.lit('<Provider Name="prov-'), (F.col("event_id") % 4).cast("string"), F.lit('"/>'),
+        F.lit('<EventID Qualifiers="16384">'), (F.col("event_id") % 100).cast("string"), F.lit("</EventID>"),
+        F.lit("<Level>"), lvl, F.lit("</Level>"),
+        F.lit('<TimeCreated SystemTime="2024-01-02T03:04:0'), (F.col("event_id") % 10).cast("string"), F.lit('Z"/>'),
+        F.lit("<EventRecordID>"), F.col("event_id").cast("string"), F.lit("</EventRecordID>"),
+        F.lit("<Channel>Application</Channel><Computer>host-"), (F.col("event_id") % 7).cast("string"),
+        F.lit("</Computer></System><EventData>"),
+        F.lit('<Data Name="k1">v'), (F.col("event_id") % 7).cast("string"), F.lit("</Data>"),
+        F.lit('<Data Name="k2">x</Data></EventData>'),
+        rendering,
+        F.lit("</Event>"),
+    )
+    lines = ev.select("event_id", xml.alias("line"))
+    out = wineventlog_parser(lines, "line")
+    return out.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("ts_unix"),
+        "record_id",
+        F.col("event_id_win").alias("win_event_id"),
+        "qualifiers",
+        "provider",
+        "computer",
+        "channel",
+        "level",
+        "severity_text",
+        "message",
+        F.element_at("event_data", "k1").alias("k1"),
+    )
+
+
+_SQL_WINEVENTLOG = """
+SELECT event_id,
+       CAST(epoch(TIMESTAMP '2024-01-02 03:04:00') + (event_id % 10) AS BIGINT) AS ts_unix,
+       event_id AS record_id,
+       event_id % 100 AS win_event_id,
+       CAST(16384 AS INT) AS qualifiers,
+       'prov-' || (event_id % 4) AS provider,
+       'host-' || (event_id % 7) AS computer,
+       'Application' AS channel,
+       CASE WHEN event_id % 2 = 0 THEN
+         CASE event_id % 6 WHEN 1 THEN 'Critical' WHEN 2 THEN 'Error'
+              WHEN 3 THEN 'Warning' WHEN 4 THEN 'Information' ELSE 'Verbose' END
+       ELSE CAST(event_id % 6 AS VARCHAR) END AS level,
+       CASE WHEN event_id % 2 = 0 THEN
+         CASE event_id % 6 WHEN 1 THEN 'FATAL' WHEN 2 THEN 'ERROR'
+              WHEN 3 THEN 'WARN' WHEN 4 THEN 'INFO' ELSE 'DEFAULT' END
+       ELSE
+         CASE event_id % 6 WHEN 1 THEN 'FATAL' WHEN 2 THEN 'ERROR'
+              WHEN 3 THEN 'WARN' WHEN 4 THEN 'INFO' ELSE 'DEFAULT' END
+       END AS severity_text,
+       CASE WHEN event_id % 2 = 0 THEN 'msg ' || event_type ELSE '' END AS message,
+       'v' || (event_id % 7) AS k1
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -2203,6 +2341,8 @@ REGISTRY: list[Query] = [
     Query("simhash_near", _q_simhash_near, _SQL_SIMHASH_NEAR),
     Query("ottl_types", _q_ottl_types, _SQL_OTTL_TYPES),
     Query("syslog_parse", _q_syslog_parse, _SQL_SYSLOG),
+    Query("journald_parse", _q_journald_parse, _SQL_JOURNALD),
+    Query("wineventlog_parse", _q_wineventlog_parse, _SQL_WINEVENTLOG),
     Query("kv_csv_uri_parse", _q_kv_csv_uri_parse, _SQL_KV_CSV_URI),
     Query("xml_parse", _q_xml_parse, _SQL_XML),
     Query("dedup_exact", _q_dedup_exact, _SQL_DEDUP_EXACT),

@@ -326,3 +326,123 @@ def trace_parser(df: DataFrame, trace_from: str = "trace_id_hex", span_from: str
     if span_from:
         out = out.withColumn("span_id", F.unhex(F.col(span_from)))
     return out
+
+
+def journald_parser(df: DataFrame, parse_from: str = "line", body_to: str = "body") -> DataFrame:
+    """journald export-stream parse — one ``journalctl -o json`` JSON object
+    per line (`pkg/stanza/operator/input/journald/input.go:172-214`):
+    timestamp comes from ``__REALTIME_TIMESTAMP`` (microseconds since epoch,
+    deleted from the body — input.go:194,211), the resume token from
+    ``__CURSOR`` (persisted per line by the reference, input.go:196-204; it
+    STAYS in the body there, so it stays here), and the remaining fields are
+    the entry body. The reference shells out to journalctl and parses its
+    stdout; the journald wire format itself is out of sandbox reach, but the
+    export format is plain JSON lines, so the parse half is fully faithful.
+
+    Export-format values are strings; binary-valued fields (emitted as JSON
+    byte arrays) are kept as their raw JSON text under the declared
+    ``map<string,string>`` schema (Spark's JacksonParser string-coerces
+    non-string scalars and containers), so no record is lost — a
+    schema-specific re-parse can decode them from either the map value or
+    the preserved ``parse_from`` line.
+    """
+    m = F.from_json(F.col(parse_from), "map<string,string>")
+    return (
+        df.withColumn("_jd", m)
+        # try_element_at: ANSI-safe — a record missing the field yields null
+        # (the reference warns and skips such lines, input.go:148-152)
+        .withColumn(
+            "ts_unix_us",
+            F.try_element_at("_jd", F.lit("__REALTIME_TIMESTAMP")).cast("long"),
+        )
+        .withColumn("cursor", F.try_element_at("_jd", F.lit("__CURSOR")))
+        .withColumn(
+            body_to,
+            F.map_filter("_jd", lambda k, _: k != F.lit("__REALTIME_TIMESTAMP")),
+        )
+        .drop("_jd")
+    )
+
+
+_WINEVENT_SCHEMA = """
+    System struct<
+        Provider struct<_Name string, _Guid string, _EventSourceName string>,
+        EventID struct<_Qualifiers int, _VALUE bigint>,
+        Level string, Task string, Opcode string,
+        TimeCreated struct<_SystemTime string>,
+        EventRecordID bigint,
+        Channel string, Computer string,
+        Security struct<_UserID string>,
+        Execution struct<_ProcessID bigint, _ThreadID bigint>
+    >,
+    EventData struct<Data array<struct<_Name string, _VALUE string>>>,
+    RenderingInfo struct<Message string, Level string>
+"""
+
+
+def wineventlog_parser(df: DataFrame, parse_from: str = "line") -> DataFrame:
+    """Windows Event Log rendered-XML parse
+    (`pkg/stanza/operator/input/windows/xml.go`). The reference subscribes via
+    the Windows API and renders each event to this XML; at rest (forwarded /
+    exported logs) the same XML is what a backfill parses, so — like journald
+    — the wire subscription is host-specific but the parse half is fully
+    faithful:
+
+    - timestamp: ``System>TimeCreated@SystemTime`` RFC3339Nano (xml.go:37-42)
+    - rendered-falls-back-to-raw for level (xml.go:82-90 — same rule as
+      task/opcode; rendered strings win when RenderingInfo is present)
+    - severity: rendered ``Critical/Error/Warning/Information`` else numeric
+      ``1/2/3/4`` → FATAL/ERROR/WARN/INFO, default otherwise (xml.go:45-77)
+    - ``EventData>Data[@Name]`` name/value pairs → map (event.go parseEventData)
+    """
+    from ..ottl.compiler import _map_entries_last_win
+
+    # Materialize the parsed struct once so nested paths resolve through the
+    # analyzer (Column.getField treats "a.b" as one literal field name).
+    parsed = df.withColumn("_ev", F.from_xml(F.col(parse_from), f"struct<{_WINEVENT_SCHEMA}>"))
+    level_raw = F.col("_ev.System.Level")
+    level_rendered = F.col("_ev.RenderingInfo.Level")
+    level = F.coalesce(level_rendered, level_raw)
+    sev = (
+        F.when(level_rendered == "Critical", "FATAL")
+        .when(level_rendered == "Error", "ERROR")
+        .when(level_rendered == "Warning", "WARN")
+        .when(level_rendered == "Information", "INFO")
+        .when(level_rendered.isNotNull(), "DEFAULT")
+        .when(level_raw == "1", "FATAL")
+        .when(level_raw == "2", "ERROR")
+        .when(level_raw == "3", "WARN")
+        .when(level_raw == "4", "INFO")
+        .otherwise("DEFAULT")
+    )
+    data = F.col("_ev.EventData.Data")
+    return parsed.select(
+        *[c for c in df.columns],
+        F.try_to_timestamp(
+            F.col("_ev.System.TimeCreated._SystemTime"),
+            F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]X"),
+        ).alias("ts"),
+        F.col("_ev.System.EventRecordID").alias("record_id"),
+        F.col("_ev.System.EventID._VALUE").alias("event_id_win"),
+        F.col("_ev.System.EventID._Qualifiers").alias("qualifiers"),
+        F.col("_ev.System.Provider._Name").alias("provider"),
+        F.col("_ev.System.Computer").alias("computer"),
+        F.col("_ev.System.Channel").alias("channel"),
+        level.alias("level"),
+        sev.alias("severity_text"),
+        F.coalesce(F.col("_ev.RenderingInfo.Message"), F.lit("")).alias("message"),
+        F.when(
+            data.isNotNull(),
+            # last-win on duplicate Data[@Name] keys, like Go's map assignment
+            # in parseEventData (event.go) — plain map_from_entries would
+            # throw under spark.sql.mapKeyDedupPolicy=EXCEPTION
+            _map_entries_last_win(
+                F.transform(
+                    data,
+                    lambda d: F.struct(
+                        d["_Name"].alias("key"), d["_VALUE"].alias("value")
+                    ),
+                )
+            ),
+        ).alias("event_data"),
+    )

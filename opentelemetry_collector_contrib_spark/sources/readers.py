@@ -553,3 +553,18 @@ def read_stdin_lines(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(
         [(l,) for l in lines], T.StructType([T.StructField("line", T.StringType())])
     )
+
+
+def read_journald_export(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of ``journalctl -o json`` export files → parsed entries
+    (`pkg/stanza/operator/input/journald/input.go`). The reference's journald
+    input is a long-lived journalctl subprocess; at rest the same records are
+    an export file of JSON lines, which is what a 100 TB backfill actually
+    reads. Plain distributed text scan → `journald_parser`; resume uses the
+    per-row ``cursor`` exactly like the reference's persisted
+    ``lastReadCursorKey`` (input.go:153).
+    """
+    from ..operators.parse import journald_parser
+
+    raw = spark.read.text(path).withColumnRenamed("value", "line")
+    return journald_parser(raw, "line")

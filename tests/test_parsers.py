@@ -172,3 +172,57 @@ def test_gotime_unsupported_directives():
             gotime_to_spark(bad)
     assert gotime_to_spark("2006-002") == "yyyy-DDD"
     assert gotime_to_spark("3:04PM") == "h:mma"
+
+
+def test_journald_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import journald_parser
+
+    line = (
+        '{"__CURSOR":"s=1;i=9","__REALTIME_TIMESTAMP":"1700000000123456",'
+        '"PRIORITY":"4","MESSAGE":"hello","_PID":"42"}'
+    )
+    df = spark.createDataFrame([(line,)], "line string")
+    r = journald_parser(df, "line").collect()[0]
+    assert r.ts_unix_us == 1700000000123456
+    assert r.cursor == "s=1;i=9"
+    assert r.body["MESSAGE"] == "hello"
+    assert r.body["_PID"] == "42"
+    assert "__REALTIME_TIMESTAMP" not in r.body  # deleted (input.go:194)
+    assert r.body["__CURSOR"] == "s=1;i=9"  # kept (reference parity)
+
+
+def test_wineventlog_parser(spark):
+    from opentelemetry_collector_contrib_spark.operators.parse import wineventlog_parser
+
+    rendered = (
+        '<Event xmlns="http://schemas.microsoft.com/win/2004/08/events/event">'
+        '<System><Provider Name="Service Control Manager"/>'
+        '<EventID Qualifiers="16384">7036</EventID><Level>4</Level>'
+        '<TimeCreated SystemTime="2022-04-22T10:20:52.3778625Z"/>'
+        "<EventRecordID>23401</EventRecordID><Channel>System</Channel>"
+        "<Computer>desktop-1</Computer></System>"
+        '<EventData><Data Name="param1">Windows Update</Data>'
+        '<Data Name="param2">running</Data></EventData>'
+        "<RenderingInfo Culture=\"en-US\"><Message>The service entered the running state.</Message>"
+        "<Level>Information</Level></RenderingInfo></Event>"
+    )
+    raw_only = (
+        "<Event><System><Provider Name=\"p\"/><EventID Qualifiers=\"0\">1</EventID>"
+        "<Level>2</Level><TimeCreated SystemTime=\"2022-04-22T10:20:52Z\"/>"
+        "<EventRecordID>5</EventRecordID><Channel>App</Channel>"
+        "<Computer>c</Computer></System></Event>"
+    )
+    df = spark.createDataFrame([(rendered,), (raw_only,)], "line string")
+    rows = {r.record_id: r for r in wineventlog_parser(df, "line").collect()}
+    a = rows[23401]
+    assert a.event_id_win == 7036 and a.qualifiers == 16384
+    assert a.provider == "Service Control Manager"
+    assert a.level == "Information"  # rendered wins (xml.go:82-90)
+    assert a.severity_text == "INFO"
+    assert a.message == "The service entered the running state."
+    assert a.event_data["param1"] == "Windows Update"
+    assert a.ts is not None
+    b = rows[5]
+    assert b.level == "2"  # falls back to System Level
+    assert b.severity_text == "ERROR"  # numeric map (xml.go:63-77)
+    assert b.message == "" and b.event_data is None

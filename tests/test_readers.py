@@ -295,3 +295,49 @@ def test_stdin_reader(spark, monkeypatch):
     monkeypatch.setattr("sys.stdin", io.StringIO("alpha\nbeta\ngamma\n"))
     rows = [r.line for r in read_stdin_lines(spark).collect()]
     assert rows == ["alpha", "beta", "gamma"]
+
+
+def test_journald_export(spark, tmp_path):
+    # Shapes from `journalctl -o json` (input/journald/input.go:172-214):
+    # timestamp removed from body, cursor kept, binary-array field string-
+    # coerced to its raw JSON text (JacksonParser) with the line preserved.
+    recs = [
+        {
+            "__CURSOR": "s=aa;i=1",
+            "__REALTIME_TIMESTAMP": "1700000000000001",
+            "PRIORITY": "3",
+            "MESSAGE": "disk failure",
+            "_SYSTEMD_UNIT": "smartd.service",
+        },
+        {
+            "__CURSOR": "s=aa;i=2",
+            "__REALTIME_TIMESTAMP": "1700000000000002",
+            "PRIORITY": "6",
+            "MESSAGE": "started",
+            "_SYSTEMD_UNIT": "nginx.service",
+        },
+    ]
+    d = tmp_path / "journal"
+    d.mkdir()
+    binary_line = '{"__CURSOR":"s=aa;i=3","__REALTIME_TIMESTAMP":"1700000000000003","MESSAGE":[104,105]}'
+    (d / "export.json").write_text(
+        "\n".join(json.dumps(r) for r in recs) + "\n" + binary_line + "\n"
+    )
+    from opentelemetry_collector_contrib_spark.sources.readers import read_journald_export
+
+    rows = read_journald_export(spark, str(d)).collect()
+    out = sorted(rows, key=lambda r: r.cursor)
+    assert len(out) == 3
+    assert out[0].ts_unix_us == 1700000000000001
+    assert out[0].cursor == "s=aa;i=1"
+    assert out[0].body["MESSAGE"] == "disk failure"
+    assert out[0].body["_SYSTEMD_UNIT"] == "smartd.service"
+    # timestamp is deleted from the body, cursor stays (reference parity)
+    assert "__REALTIME_TIMESTAMP" not in out[0].body
+    assert out[0].body["__CURSOR"] == "s=aa;i=1"
+    assert sorted(out[1].body.keys()) == [
+        "MESSAGE", "PRIORITY", "_SYSTEMD_UNIT", "__CURSOR",
+    ]
+    # binary-valued field: string-coerced to raw JSON text; line preserved
+    assert out[2].body["MESSAGE"] == "[104,105]"
+    assert out[2].line == binary_line

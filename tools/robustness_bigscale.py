@@ -1,0 +1,214 @@
+"""Large-scale robustness runs for the round-3 heavy operators
+(VERDICT r03 next-round #6): line_dedup, duplicated_spans, curate_corpus
+at 100M rows — 5x the bench's 20M-row scale.
+
+Each op runs in its OWN subprocess/SparkSession so shuffle scratch is
+reclaimed between ops (the sandbox has ~74 GB free; a single app keeps
+its shuffle files until exit). Wall time plus executor shuffle-write /
+shuffle-read / spill bytes are read from the Spark REST API before the
+session stops, and one JSON line per op is printed for BASELINE.md.
+
+Sandbox disk note (documented, not hidden): the full-length corpus at
+100M rows averages 134 tokens/doc = 13.4B tokens; duplicated_spans
+explodes one packed int64 window per token (~13.1B x ~18 B raw
+~= 220 GB shuffle) and line_dedup moves the rendered text through two
+exchanges (~2 x 80 GB) — both beyond the sandbox's free disk, fine on a
+cluster with per-node TB-scale scratch. For those two ops the run keeps
+100M ROWS (the shuffle-machinery scale under test: task counts, skew,
+partial-agg behavior, AQE coalescing) and caps docs at their first 32
+tokens (3.2B-token corpus); curate_corpus runs full-length. Measured
+per-row shuffle bytes below let the 100 TB operator size cluster scratch
+directly.
+
+Usage:
+    python tools/robustness_bigscale.py            # run all three
+    python tools/robustness_bigscale.py line_dedup # one op (subprocess target)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_ROWS = int(os.environ.get("SPARK_GRAFT_ROBUST_ROWS", "100000000"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CAP_TOKENS = 32  # doc cap for the two text/window-explode ops (see module doc)
+LINE_TOKENS = 8  # tokens per rendered line for line_dedup
+
+
+def _rest_metrics(spark) -> dict:
+    """Sum executor/stage shuffle + spill bytes from the local REST API."""
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return {}
+    try:
+        apps = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=10))
+        app_id = apps[0]["id"]
+        stages = json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications/{app_id}/stages", timeout=10)
+        )
+        agg = {
+            "shuffle_write_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+            "shuffle_read_bytes": sum(s.get("shuffleReadBytes", 0) for s in stages),
+            "disk_spill_bytes": sum(s.get("diskBytesSpilled", 0) for s in stages),
+            "memory_spill_bytes": sum(s.get("memoryBytesSpilled", 0) for s in stages),
+            "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+            "n_stages": len(stages),
+        }
+        return agg
+    except Exception as exc:  # metrics are evidence, not the run itself
+        return {"metrics_error": str(exc)}
+
+
+def _tokens(spark, cap: int | None):
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.sources.tokengen import tokens_df
+
+    # 512 generator partitions bound per-task memory at 100M rows
+    t = tokens_df(spark, N_ROWS, num_partitions=512)
+    if cap:
+        t = t.select(
+            "doc_id",
+            F.slice("tokens", 1, cap).alias("tokens"),
+            "source",
+        )
+    return t
+
+
+def run_line_dedup(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import line_dedup
+
+    t = _tokens(spark, CAP_TOKENS)
+    nlines = F.ceil(F.size("tokens") / LINE_TOKENS).cast("int")
+    lined = t.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nlines - 1),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.slice("tokens", j * LINE_TOKENS + 1, LINE_TOKENS),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = line_dedup(lined, "doc_id", "text")
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_kept").alias("kept"),
+    ).collect()[0]
+    return {"docs": row["docs"], "lines": row["lines"], "kept": row["kept"]}
+
+
+def run_dup_spans(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import duplicated_spans
+    from opentelemetry_collector_contrib_spark.sources.render import row_idx_col
+
+    t = _tokens(spark, CAP_TOKENS).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    out = duplicated_spans(t, "doc_id", "tokens", n=4, min_docs=2)
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("npos").alias("windows"),
+        F.sum("dup_pos").alias("dup_windows"),
+    ).collect()[0]
+    return {"docs": row["docs"], "windows": row["windows"], "dup_windows": row["dup_windows"]}
+
+
+def run_curate(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.plans.curate import curate_corpus
+    from opentelemetry_collector_contrib_spark.sources.render import row_idx_col
+
+    t = _tokens(spark, None).select(  # full-length tokens
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        "tokens",
+        "source",
+    )
+    weights = {"src-hot": 0.4, "src-warm": 0.3, "src-cold-0": 0.2, "src-cold-1": 0.1}
+    out = curate_corpus(
+        t, "doc_id", "tokens", "source",
+        weights, target_total=20_000_000, num_shards=256, seed=11,
+    )
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.count_distinct("shard_id").alias("shards"),
+        F.sum(F.size("tokens")).alias("tokens_out"),
+    ).collect()[0]
+    return {"docs": row["docs"], "shards": row["shards"], "tokens_out": row["tokens_out"]}
+
+
+OPS = {
+    "line_dedup": (run_line_dedup, CAP_TOKENS),
+    "dup_spans": (run_dup_spans, CAP_TOKENS),
+    "curate_corpus": (run_curate, None),
+}
+
+
+def _run_one(name: str) -> None:
+    from opentelemetry_collector_contrib_spark.session import get_spark
+
+    fn, cap = OPS[name]
+    spark = get_spark(
+        master=f"local[{CPUS}]",
+        app_name=f"robust-{name}",
+        # ~54 GB of shuffle at 100M rows / 512 partitions ≈ 100 MB per
+        # reduce task — the maxPartitionBytes-scale sizing rule; AQE
+        # coalesces the small stages back down
+        shuffle_partitions=512,
+        # get_spark disables the UI by default; the REST API is the
+        # shuffle/spill evidence source for this run, so turn it on
+        extra_conf={"spark.ui.enabled": "true"},
+    )
+    spark.range(10).count()  # JVM warm
+    t0 = time.time()
+    stats = fn(spark)
+    wall = time.time() - t0
+    metrics = _rest_metrics(spark)
+    spark.stop()
+    print("ROBUST " + json.dumps({
+        "op": name, "rows": N_ROWS, "token_cap": cap,
+        "wall_s": round(wall, 1), **stats, **metrics,
+    }))
+
+
+def main() -> None:
+    if len(sys.argv) > 1:
+        _run_one(sys.argv[1])
+        return
+    for name in OPS:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), name],
+            cwd=REPO,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for ln in r.stdout.splitlines():
+            if ln.startswith("ROBUST "):
+                print(ln)
+        if r.returncode != 0:
+            print(f"ROBUST {json.dumps({'op': name, 'rc': r.returncode})}")
+
+
+if __name__ == "__main__":
+    main()
