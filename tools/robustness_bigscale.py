@@ -15,10 +15,18 @@ explodes one packed int64 window per token (~13.1B x ~18 B raw
 exchanges (~2 x 80 GB) — both beyond the sandbox's free disk, fine on a
 cluster with per-node TB-scale scratch. For those two ops the run keeps
 100M ROWS (the shuffle-machinery scale under test: task counts, skew,
-partial-agg behavior, AQE coalescing) and caps docs at their first 32
-tokens (3.2B-token corpus); curate_corpus runs full-length. Measured
-per-row shuffle bytes below let the 100 TB operator size cluster scratch
-directly.
+partial-agg behavior, AQE coalescing) and caps doc length; curate_corpus
+runs full-length. Measured per-row shuffle bytes below let the 100 TB
+operator size cluster scratch directly.
+
+Measured scratch (this sandbox, first attempt): at a 32-token cap
+dup_spans' three live shuffles (window index 29 GB + window agg 27 GB +
+doc reassembly ~21 GB — Spark keeps all of an app's shuffle files until
+app exit) plus transient sort spill overran the ~75 GB free scratch at
+stage 7/9, so the dup_spans default cap is 16 tokens (1.3B windows,
+~34 GB of live shuffle + spill headroom); override with
+SPARK_GRAFT_ROBUST_DUP_CAP. line_dedup completed at cap 32 with 19.8 GB
+shuffle and zero spill.
 
 Usage:
     python tools/robustness_bigscale.py            # run all three
@@ -39,7 +47,10 @@ sys.path.insert(0, REPO)
 
 N_ROWS = int(os.environ.get("SPARK_GRAFT_ROBUST_ROWS", "100000000"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-CAP_TOKENS = 32  # doc cap for the two text/window-explode ops (see module doc)
+CAP_TOKENS = 32  # doc cap for line_dedup (see module doc)
+# dup_spans explodes ~(cap-3) int64 windows/doc across three live shuffles;
+# 16 fits the sandbox's scratch, 32 does not (measured — module doc)
+DUP_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_DUP_CAP", "16"))
 LINE_TOKENS = 8  # tokens per rendered line for line_dedup
 
 
@@ -121,7 +132,7 @@ def run_dup_spans(spark) -> dict:
     from opentelemetry_collector_contrib_spark.operators.dedup import duplicated_spans
     from opentelemetry_collector_contrib_spark.sources.render import row_idx_col
 
-    t = _tokens(spark, CAP_TOKENS).select(
+    t = _tokens(spark, DUP_CAP).select(
         row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
     )
     out = duplicated_spans(t, "doc_id", "tokens", n=4, min_docs=2)
@@ -159,7 +170,7 @@ def run_curate(spark) -> dict:
 
 OPS = {
     "line_dedup": (run_line_dedup, CAP_TOKENS),
-    "dup_spans": (run_dup_spans, CAP_TOKENS),
+    "dup_spans": (run_dup_spans, DUP_CAP),
     "curate_corpus": (run_curate, None),
 }
 
