@@ -2312,6 +2312,74 @@ FROM events
 """
 
 
+def _q_tail_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based sampling (processor/tailsamplingprocessor) over user-hour
+    traces of the events stream: five policies — invert string filter
+    (traces containing a signup are vetoed), status-code analog (any error
+    event), latency ≥ 10 min, AND(numeric value band, span_count ≥ 3),
+    deterministic 25% probabilistic — combined with the reference's
+    makeDecision precedence (processor.go:281-291)."""
+    from .operators import tailsampling as tsamp
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "trace_key",
+        (F.col("user_id") * F.lit(10_000_000)
+         + F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / 3_600_000_000)
+         ).cast("long"),
+    )
+    pol = [
+        tsamp.string_attr("nosignup", "event_type", ["signup"], invert=True),
+        tsamp.status_code("err", "event_type", ["error"]),
+        tsamp.latency("slow", 600_000),
+        tsamp.and_("hot3", [
+            tsamp.numeric_attr("hot", "value", 150, 200),
+            tsamp.span_count("n3", 3),
+        ]),
+        tsamp.probabilistic("prob", 25.0, seed=7),
+    ]
+    out = tsamp.trace_decisions(ev, "trace_key", "ts", pol)
+    return out.select(
+        "trace_key",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        "d_nosignup", "d_err", "d_slow", "d_hot3", "d_prob", "sampled",
+    )
+
+
+_SQL_TAIL_SAMPLE = f"""
+WITH agg AS (
+  SELECT user_id * 10000000 + (epoch_us(ts) // 3600000000) AS trace_key,
+         COUNT(*) AS n_spans,
+         (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000 AS duration_ms,
+         MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f_signup,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS f_err,
+         MAX(CASE WHEN value BETWEEN 150 AND 200 THEN 1 ELSE 0 END) AS f_hot
+  FROM events GROUP BY 1
+), dec AS (
+  SELECT trace_key, n_spans, duration_ms,
+         CASE WHEN f_signup = 1 THEN 3 ELSE 2 END AS d_nosignup,
+         CASE WHEN f_err = 1 THEN 1 ELSE 0 END AS d_err,
+         CASE WHEN duration_ms >= 600000 THEN 1 ELSE 0 END AS d_slow,
+         CASE WHEN f_hot = 1 AND n_spans >= 3 THEN 1 ELSE 0 END AS d_hot3,
+         CASE WHEN {{bucket}} < 25.0 * {SAMPLER_BUCKETS} / 100.0
+              THEN 1 ELSE 0 END AS d_prob
+  FROM agg
+)
+SELECT trace_key,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(duration_ms AS BIGINT) AS duration_ms,
+       d_nosignup, d_err, d_slow, d_hot3, d_prob,
+       CASE WHEN d_nosignup = 3 THEN 0
+            WHEN d_err = 1 OR d_slow = 1 OR d_hot3 = 1 OR d_prob = 1 THEN 1
+            WHEN d_nosignup = 2
+                 AND d_err = 1 AND d_slow = 1 AND d_hot3 = 1 AND d_prob = 1
+                 THEN 1
+            ELSE 0 END AS sampled
+FROM dec
+""".format(bucket=sampler_bucket_sql("trace_key", 7))
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -2378,4 +2446,5 @@ REGISTRY: list[Query] = [
     Query("curate_pipeline", _q_curate, _SQL_CURATE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
+    Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
 ]
