@@ -380,6 +380,116 @@ def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def otlp_json_lines(df: DataFrame) -> DataFrame:
+    """Flat log-record DataFrame → one OTLP/JSON document per row — the
+    exporter half of ``read_otlp_json`` (the fileexporter's plog JSON-line
+    marshaling, `exporter/fileexporter/marshaller.go`, one
+    ``plogotlp.ExportRequest`` JSON per line).
+
+    Records regroup by (resource, scope) — the tree levels the reader
+    denormalized — entirely JVM-side: ``collect_list`` of record structs
+    under a single groupBy, nested struct assembly, ``to_json``. Protobuf
+    JSON mapping encodes uint64 as string, so ``timeUnixNano`` is written
+    as a string (the reader's schema already parses it that way).
+
+    Input columns: ts, severity_number, severity_text, body,
+    attributes map<string,string>, resource map<string,string>, scope_name,
+    trace_id, span_id — exactly ``read_otlp_json``'s output, so
+    write → read round-trips by construction.
+    """
+    kv = lambda m: F.transform(  # noqa: E731 — map → OTLP KeyValue list
+        F.map_entries(m),
+        lambda e: F.struct(
+            e.getField("key").alias("key"),
+            F.struct(e.getField("value").alias("stringValue")).alias("value"),
+        ),
+    )
+    rec = F.struct(
+        (F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .cast("string")
+        .alias("timeUnixNano"),
+        F.col("severity_number").cast("int").alias("severityNumber"),
+        F.col("severity_text").alias("severityText"),
+        F.struct(F.col("body").alias("stringValue")).alias("body"),
+        kv(F.col("attributes")).alias("attributes"),
+        F.col("trace_id").alias("traceId"),
+        F.col("span_id").alias("spanId"),
+    )
+    grouped = (
+        df.withColumn("_rec", rec)
+        .groupBy(
+            F.to_json("resource").alias("_res_key"),
+            F.col("scope_name"),
+        )
+        .agg(
+            F.first(F.col("resource")).alias("_res"),
+            F.collect_list("_rec").alias("_records"),
+        )
+    )
+    doc = F.struct(
+        F.array(
+            F.struct(
+                F.struct(kv(F.col("_res")).alias("attributes")).alias("resource"),
+                F.array(
+                    F.struct(
+                        F.struct(F.col("scope_name").alias("name")).alias("scope"),
+                        F.col("_records").alias("logRecords"),
+                    )
+                ).alias("scopeLogs"),
+            )
+        ).alias("resourceLogs")
+    )
+    return grouped.select(F.to_json(doc).alias("value"))
+
+
+def write_otlp_json(df: DataFrame, path: str) -> None:
+    """Write the OTLP/JSON lines of ``otlp_json_lines`` as text files —
+    the fileexporter sink surface for this repo (per-route parquet/Iceberg
+    tables remain the analytical sinks; this is the wire-format export)."""
+    otlp_json_lines(df).write.mode("overwrite").text(path)
+
+
+def generate_input(
+    spark: SparkSession,
+    body: str,
+    count: int,
+    *,
+    attributes: dict[str, str] | None = None,
+    severity_text: str | None = None,
+    static: bool = True,
+    base_ts: "str | None" = None,
+    interval_us: int = 0,
+) -> DataFrame:
+    """The stanza ``generate`` input
+    (`pkg/stanza/operator/input/generate/input.go:34-55`): emit ``count``
+    copies of a static entry. The reference stamps ``time.Now()`` on each
+    copy when not static; the deterministic batch analog stamps
+    ``base_ts + seq*interval_us`` so reruns are byte-identical (the repo's
+    oracle discipline). Built on ``spark.range`` — generation is
+    distributed, never a driver loop."""
+    df = spark.range(count).select(
+        F.col("id").alias("seq"),
+        F.lit(body).alias("body"),
+        F.lit(severity_text).cast("string").alias("severity_text"),
+    )
+    if attributes:
+        df = df.withColumn(
+            "attributes",
+            F.create_map(*[F.lit(x) for kv in attributes.items() for x in kv]),
+        )
+    if not static:
+        if base_ts is None:
+            raise ValueError("non-static generate needs a deterministic base_ts")
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.unix_micros(F.lit(base_ts).cast("timestamp"))
+                + F.col("seq") * F.lit(interval_us)
+            ),
+        )
+    return df
+
+
 def stream_socket_lines(spark: SparkSession, host: str, port: int) -> DataFrame:
     """TCP line stream → unbounded DataFrame of ``value: string`` — the
     tcplog/syslog-receiver analog (`receiver/tcplogreceiver`,

@@ -100,6 +100,57 @@ def test_read_otlp_json(spark, otlp_file):
     assert rows[1].body == "boom" and rows[1].severity_number == 17
 
 
+def test_otlp_json_write_read_roundtrip(spark, otlp_file, tmp_path_factory):
+    """write_otlp_json is the exact inverse of read_otlp_json: write the
+    flat records back out as OTLP/JSON lines, read them again, and the
+    record set is identical (fileexporter marshaling round-trip)."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        write_otlp_json,
+    )
+
+    df = read_otlp_json(spark, otlp_file)
+    out = str(tmp_path_factory.mktemp("otlp_out") / "export")
+    write_otlp_json(df, out)
+
+    back = read_otlp_json(spark, out)
+
+    def key(r):
+        return (
+            str(r.ts), r.severity_number, r.severity_text, r.body,
+            tuple(sorted((r.attributes or {}).items())),
+            tuple(sorted((r.resource or {}).items())),
+            r.scope_name, r.trace_id, r.span_id,
+        )
+
+    assert sorted(map(key, df.collect())) == sorted(map(key, back.collect()))
+
+
+def test_generate_input(spark):
+    """stanza generate input: count copies of a static entry; non-static
+    stamps deterministic sequential timestamps."""
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        generate_input,
+    )
+
+    df = generate_input(
+        spark, "hello", 5, attributes={"k": "v"}, severity_text="INFO"
+    )
+    rows = sorted(df.collect(), key=lambda r: r.seq)
+    assert len(rows) == 5
+    assert all(r.body == "hello" and r.attributes == {"k": "v"} for r in rows)
+
+    ts = generate_input(
+        spark, "x", 3, static=False,
+        base_ts="2024-01-01 00:00:00", interval_us=1_000_000,
+    )
+    got = sorted(str(r.ts) for r in ts.collect())
+    assert got == [
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:00:01",
+        "2024-01-01 00:00:02",
+    ]
+
+
 def test_read_log_lines_structural_offsets(spark, tmp_path_factory):
     """Offsets are structural (wholetext + posexplode), not an artifact of
     input-split ordering: a many-line file keeps exact line ordinals, a
