@@ -6,12 +6,14 @@ UDF signatures) is real and tested. Codec coverage is split honestly:
 - REAL decoders (stdlib/numpy only, no external libs): PGM/PPM images
   (P2/P3 ASCII, P5/P6 binary — pure parsing), PNG (8-bit gray/RGB:
   chunk walk + ``zlib`` inflate + vectorized numpy unfilter of all five
-  scanline filters), and RIFF/PCM WAV audio (stdlib ``wave``).
-  ``decode_and_featurize_real`` runs them distributed over mapInPandas
-  and extracts pixel/sample-domain features.
-- STUBBED codecs (JPEG/MP3/H.264 — would need PIL/ffmpeg, not in this
-  container): dispatch raises NotImplementedError; ``fake=True`` swaps in a
-  deterministic stand-in so the plumbing is exercisable for any mime.
+  scanline filters), baseline JPEG (operators/jpeg: Annex K tables,
+  canonical Huffman, matrix DCT — encoder AND decoder), and RIFF/PCM WAV
+  audio (stdlib ``wave``). ``decode_and_featurize_real`` runs them
+  distributed over mapInPandas and extracts pixel/sample-domain features.
+- STUBBED codecs (MP3/H.264 — would need ffmpeg-class libraries, not in
+  this container): dispatch raises NotImplementedError; ``fake=True``
+  swaps in a deterministic stand-in so the plumbing is exercisable for
+  any mime.
 
 Batch shape contract: mapInPandas receives column-pruned Arrow batches —
 binary payloads stream batch-by-batch, never materialized per partition,
@@ -382,7 +384,7 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
     """Distributed REAL decode: netpbm images and WAV audio parsed from
     their actual bytes inside mapInPandas (one Arrow batch at a time);
     features come from the decoded pixel/sample domain. Mimes without a
-    pure-Python codec (image/jpeg, video/*) raise NotImplementedError —
+    pure-Python codec (audio/mpeg, video/*) raise NotImplementedError —
     the honest boundary of this container."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -391,8 +393,14 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
             for mid, payload, mime in zip(
                 pdf["media_id"], pdf["payload"], pdf["mime"]
             ):
-                if mime in ("image/x-portable-graymap", "image/x-portable-pixmap", "image/png"):
-                    decode = decode_png if mime == "image/png" else decode_netpbm
+                if mime in ("image/x-portable-graymap", "image/x-portable-pixmap",
+                            "image/png", "image/jpeg"):
+                    if mime == "image/png":
+                        decode = decode_png
+                    elif mime == "image/jpeg":
+                        from .jpeg import decode_jpeg as decode
+                    else:
+                        decode = decode_netpbm
                     img = decode(bytes(payload))
                     h, w = img.shape[:2]
                     rows.append(
@@ -419,10 +427,12 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
 
 
 def synthetic_real_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
-    """Corpus of GENUINE encoded bytes: even ids → images (ids ≡0 mod 4:
-    binary PGM 8×8 gradient; ids ≡2 mod 4: PNG RGB with cycling scanline
-    filters), odd ids → WAV audio (8 kHz sine, id-dependent frequency).
-    Exercises every real decoder distributed."""
+    """Corpus of GENUINE encoded bytes: even ids → images (ids ≡0 mod 8:
+    binary PGM 8×8 gradient; ids ≡4 mod 8: baseline JPEG of the same
+    gradient; ids ≡2 mod 4: PNG RGB with cycling scanline filters), odd
+    ids → WAV audio (8 kHz sine, id-dependent frequency). Exercises every
+    real decoder distributed."""
+    from .jpeg import encode_jpeg
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -436,6 +446,13 @@ def synthetic_real_media_df(spark, n: int, partitions: int = 8) -> DataFrame:
                         dict(media_id=i, payload=encode_png(px),
                              mime="image/png",
                              meta=dict(width=8, height=8, duration_ms=None, codec="png"))
+                    )
+                elif i % 8 == 4:
+                    px = ((np.add.outer(np.arange(8), np.arange(8)) * (i + 3)) % 256).astype(np.uint8)
+                    rows.append(
+                        dict(media_id=i, payload=encode_jpeg(px, quality=90),
+                             mime="image/jpeg",
+                             meta=dict(width=8, height=8, duration_ms=None, codec="jpeg"))
                     )
                 elif i % 2 == 0:
                     px = ((np.add.outer(np.arange(8), np.arange(8)) * (i + 3)) % 256).astype(np.uint8)

@@ -340,10 +340,52 @@ class TestRealCodecs:
         assert aud.kind == "audio" and aud.sample_rate == 8000
         assert aud.duration_ms == 100
         assert max(aud.feature) > 0.1  # sine energy present
+        jpg = rows[4]  # ids ≡4 mod 8 are genuine baseline JPEG bytes
+        assert jpg.kind == "image" and (jpg.width, jpg.height) == (8, 8)
+        assert len(jpg.feature) == 16
         # unknown mime still raises (the honest stub boundary)
-        bad = media.withColumn("mime", F.lit("image/jpeg"))
+        bad = media.withColumn("mime", F.lit("video/mp4"))
         with pytest.raises(Exception, match="NotImplementedError|no pure-Python codec"):
             mm.decode_and_featurize_real(bad).collect()
+
+    def test_jpeg_roundtrip_quality_ladder(self):
+        """Baseline JPEG codec (pure numpy): lossy round-trip error shrinks
+        as quality rises; smooth gradients reconstruct exactly at q≥95;
+        deterministic bytes; gray and RGB 4:4:4 paths both real."""
+        from opentelemetry_collector_contrib_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        gray = np.add.outer(np.arange(24) * 3, np.arange(40) * 2).astype(np.uint8)
+        rmses = []
+        for q in (25, 50, 75, 95):
+            dec = decode_jpeg(encode_jpeg(gray, q)).astype(int)
+            rmses.append(float(np.sqrt(((dec - gray.astype(int)) ** 2).mean())))
+        assert rmses == sorted(rmses, reverse=True)  # quality ladder
+        assert rmses[-1] == 0.0                      # q95 exact on gradient
+
+        rgb = np.zeros((17, 23, 3), np.uint8)
+        rgb[..., 0] = np.add.outer(np.arange(17) * 5, np.arange(23) * 3) % 256
+        rgb[..., 1] = 100
+        rgb[..., 2] = (np.arange(23)[None, :] * 7) % 256
+        dec = decode_jpeg(encode_jpeg(rgb, 90))
+        assert dec.shape == rgb.shape
+        assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+        assert encode_jpeg(rgb, 90) == encode_jpeg(rgb, 90)  # deterministic
+
+    def test_jpeg_rejects_out_of_scope_streams(self):
+        from opentelemetry_collector_contrib_spark.operators.jpeg import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        with pytest.raises(ValueError, match="not a JPEG"):
+            decode_jpeg(b"\x89PNG....")
+        px = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        payload = bytearray(encode_jpeg(px, 75))
+        sof = payload.index(b"\xff\xc0")
+        payload[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+        with pytest.raises(ValueError, match="non-baseline"):
+            decode_jpeg(bytes(payload))
 
 
 def test_lsh_multi_table_recall(spark, emb):
