@@ -255,3 +255,34 @@ def test_curate_corpus_shuffle_budget(spark):
     plan = _executed_plan(out)
     n = plan.count("Exchange hashpartitioning")
     assert n <= 2, f"curate_corpus plans {n} exchanges:\n{plan[:3000]}"
+
+
+def test_tail_sampling_decision_plan(spark):
+    """Tail sampling's stateless decision table is ONE exchange (the trace
+    groupBy partial agg) with zero Python nodes; tail_sample adds only the
+    keep-join of events against the sampled key set."""
+    import datetime as dt
+
+    from opentelemetry_collector_contrib_spark.operators import (
+        tailsampling as tsamp,
+    )
+
+    rows = [
+        (i % 50, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+         "error" if i % 7 == 0 else "view", float(i % 300))
+        for i in range(2000)
+    ]
+    ev = spark.createDataFrame(
+        rows, "trace_key long, ts timestamp, event_type string, value double"
+    )
+    pol = [
+        tsamp.string_attr("nosignup", "event_type", ["signup"], invert=True),
+        tsamp.status_code("err", "event_type", ["error"]),
+        tsamp.latency("slow", 60_000),
+        tsamp.probabilistic("prob", 25.0, seed=7),
+    ]
+    dec = tsamp.trace_decisions(ev, "trace_key", "ts", pol)
+    plan = _executed_plan(dec)
+    n = plan.count("Exchange hashpartitioning")
+    assert n == 1, f"trace_decisions plans {n} exchanges:\n{plan[:2000]}"
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
