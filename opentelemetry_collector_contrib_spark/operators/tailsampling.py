@@ -115,6 +115,12 @@ def boolean_attr(name: str, col: str, value: bool, *, invert: bool = False) -> P
     return Policy(name, "boolean_attr", {"col": col, "value": value, "invert": invert})
 
 
+def trace_state(name: str, col: str, key: str, values: list[str]) -> Policy:
+    """trace_state_filter.go:46-61 — any span whose W3C tracestate header
+    (``k1=v1,k2=v2``) carries ``key`` with a value in the set."""
+    return Policy(name, "trace_state", {"col": col, "key": key, "values": values})
+
+
 def ottl_condition(name: str, conditions: list[str]) -> Policy:
     """ottl.go — sample when any span satisfies any OTTL boolean condition
     (compiled by this repo's OTTL compiler to a native column)."""
@@ -173,6 +179,12 @@ def _flag_exprs(p: Policy) -> dict[str, Column]:
             F.lit(p.params["min"]), F.lit(p.params["max"])).cast("int")
     elif p.kind == "boolean_attr":
         out[f"_f_{p.name}"] = (F.col(c) == F.lit(p.params["value"])).cast("int")
+    elif p.kind == "trace_state":
+        val = F.element_at(
+            F.str_to_map(F.coalesce(F.col(c), F.lit("")), F.lit(","), F.lit("=")),
+            F.lit(p.params["key"]),
+        )
+        out[f"_f_{p.name}"] = val.isin(p.params["values"]).cast("int")
     elif p.kind == "ottl_condition":
         from ..ottl.compiler import compile_condition
 
@@ -204,7 +216,7 @@ def _decision_expr(p: Policy, trace_key: Column) -> Column:
         cond = (n >= lo) if hi == 0 else ((n >= lo) & (n <= hi))
         return F.when(cond, SAMPLED).otherwise(NOT_SAMPLED)
     if p.kind in ("status_code", "string_attr", "numeric_attr",
-                  "boolean_attr", "ottl_condition"):
+                  "boolean_attr", "ottl_condition", "trace_state"):
         hit = F.coalesce(F.col(f"_f_{p.name}"), F.lit(0)) == 1
         if p.params.get("invert"):
             return F.when(hit, INVERT_NOT_SAMPLED).otherwise(INVERT_SAMPLED)

@@ -174,6 +174,26 @@ def test_ottl_condition_policy(spark):
     assert d[2]["d_o"] == ts.NOT_SAMPLED
 
 
+def test_trace_state_policy(spark):
+    # trace_state_filter.go: parse W3C tracestate, match key's value
+    data = [
+        (1, T0, "a", 0.0, "vendor=acme,tier=gold"),
+        (2, T0, "a", 0.0, "tier=silver"),
+        (3, T0, "a", 0.0, None),
+    ]
+    df = spark.createDataFrame(
+        data,
+        "trace_key long, ts timestamp, event_type string, value double, "
+        "tracestate string",
+    )
+    out = ts.trace_decisions(
+        df, "trace_key", "ts",
+        [ts.trace_state("gold", "tracestate", "tier", ["gold"])],
+    )
+    d = {r["trace_key"]: r["d_gold"] for r in out.collect()}
+    assert d == {1: ts.SAMPLED, 2: ts.NOT_SAMPLED, 3: ts.NOT_SAMPLED}
+
+
 def test_tail_sample_keeps_whole_traces(spark):
     rows = [(1, 0, "error", 0), (1, 1, "view", 0), (2, 0, "view", 0)]
     df = _events(spark, rows)
