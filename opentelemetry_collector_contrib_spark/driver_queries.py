@@ -2380,6 +2380,64 @@ FROM dec
 """.format(bucket=sampler_bucket_sql("trace_key", 7))
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking over free text (redactionprocessor's blocked-value regex
+    masking, `processor/redactionprocessor/processor.go:139-166`, lifted to
+    the document domain): lines with deterministic email / card / ssn / ip /
+    phone values synthesized from the events table, per-kind match counts
+    plus the fully masked text. Pure regexp column expressions — the scrub
+    fuses into the scan (0 shuffles)."""
+    from .operators.pii import pii_scrub
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    d4 = F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0")
+    line = F.concat(
+        F.lit("user u"), (F.col("event_id") % 97).cast("string"),
+        F.lit("@example.com from 10."), (F.col("event_id") % 256).cast("string"),
+        F.lit(".0."), (F.col("event_id") % 250).cast("string"),
+        F.lit(" card 4111-1111-1111-"), d4,
+        F.lit(" ssn 123-45-"), d4,
+        F.lit(" call +1 555-010-"), d4,
+        F.lit(" evt "), F.col("event_type"),
+    )
+    df = ev.select("event_id", line.alias("text"))
+    out = pii_scrub(df, "text")
+    return out.select(
+        "event_id", "text", "n_email", "n_card", "n_ssn", "n_ipv4", "n_phone"
+    )
+
+
+def _pii_sql() -> str:
+    from .operators.pii import PII_PATTERNS, pii_scrub_sql
+
+    counts = ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{PII_PATTERNS[k]}')) AS INT) AS n_{k}"
+        for k in PII_PATTERNS
+    )
+    return f"""
+WITH lines AS (
+  SELECT event_id,
+         'user u' || (event_id % 97) || '@example.com from 10.' || (event_id % 256)
+           || '.0.' || (event_id % 250)
+           || ' card 4111-1111-1111-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+           || ' ssn 123-45-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+           || ' call +1 555-010-' || lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0')
+           || ' evt ' || event_type AS text
+  FROM events
+), cnt AS (
+  SELECT event_id, text,
+         {counts}
+  FROM lines
+)
+SELECT event_id, {pii_scrub_sql('text')} AS text,
+       n_email, n_card, n_ssn, n_ipv4, n_phone
+FROM cnt
+"""
+
+
+_SQL_PII_SCRUB = _pii_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -2447,4 +2505,5 @@ REGISTRY: list[Query] = [
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
     Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
+    Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
 ]
