@@ -2380,6 +2380,124 @@ FROM dec
 """.format(bucket=sampler_bucket_sql("trace_key", 7))
 
 
+_PQ_CELLS, _PQ_CELL_SEED, _PQ_CELL_SCALE = 8, 7, 125
+_PQ_M, _PQ_KSUB, _PQ_BOOK_SEED, _PQ_BOOK_SCALE = 8, 16, 13, 100
+_PQ_NPROBE, _PQ_K = 2, 10
+
+
+def _pq_cents_q() -> list[list[int]]:
+    from .operators.similarity import quantized_pq_codebooks
+
+    # one "subspace" spanning the full dim = a plain centroid table, scaled
+    # to the corpus's quantized vector norm (scale 125 ≈ data norm / √dim)
+    return quantized_pq_codebooks(
+        64, 1, _PQ_CELLS, seed=_PQ_CELL_SEED, scale=_PQ_CELL_SCALE
+    )[0]
+
+
+def _pq_books_q() -> list[list[list[int]]]:
+    from .operators.similarity import quantized_pq_codebooks
+
+    return quantized_pq_codebooks(
+        64, _PQ_M, _PQ_KSUB, seed=_PQ_BOOK_SEED, scale=_PQ_BOOK_SCALE
+    )
+
+
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (faiss IVFADC) approximate top-k, value-checked end to end:
+    integer coarse cells, residual PQ codes (m=8 codes replace 64 floats —
+    32× shuffle/IO compression, the 10^12-row ANN memory plan), query-side
+    ADC distance tables, one cell-keyed exchange. Fixed seeded integer
+    codebooks keep every value int64 for the DuckDB replay; k-means-trained
+    codebook QUALITY is covered in pytest (`pq_train_codebooks` beats the
+    seeded books on ADC error over the same corpus)."""
+    from .operators.similarity import ivfpq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(
+        emb, qs, _pq_cents_q(), _pq_books_q(), k=_PQ_K, n_probe=_PQ_NPROBE
+    ).select(
+        "query_id", "vec_id", "adist", F.col("rank").cast("int").alias("rank"), "cell"
+    )
+
+
+def _ivfpq_sql() -> str:
+    import math
+
+    cents = _pq_cents_q()
+    books = _pq_books_q()
+    dsub = 64 // _PQ_M
+    cent_rows = ",\n    ".join(
+        f"({c}, {row}::BIGINT[], {repr(math.sqrt(sum(v * v for v in row)))})"
+        for c, row in enumerate(cents)
+    )
+    book_rows = ",\n    ".join(
+        f"({j}, {c}, {books[j][c]}::BIGINT[])"
+        for j in range(_PQ_M)
+        for c in range(_PQ_KSUB)
+    )
+    sub_d = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (r.r[b.j*{dsub}+i] - b.bv[i]) * (r.r[b.j*{dsub}+i] - b.bv[i])))"
+    )
+    q_sub_d = (
+        f"list_sum(list_transform(range(1, {dsub + 1}), "
+        f"i -> (qr.r[cd.j*{dsub}+i] - b.bv[i]) * (qr.r[cd.j*{dsub}+i] - b.bv[i])))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), cents(cell, cv, cnorm) AS (
+  VALUES {cent_rows}
+), books(j, code, bv) AS (
+  VALUES {book_rows}
+), cell_scores AS (
+  SELECT q.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           ORDER BY CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i])) AS BIGINT) AS DOUBLE) / c.cnorm DESC, c.cell) AS rn
+  FROM q CROSS JOIN cents c
+), res AS (
+  SELECT q.vec_id, cs.cell,
+         list_transform(range(1, 65), i -> q.qe[i] - c.cv[i]) AS r
+  FROM q
+  JOIN cell_scores cs ON cs.vec_id = q.vec_id AND cs.rn = 1
+  JOIN cents c ON c.cell = cs.cell
+), enc AS (
+  SELECT r.vec_id, r.cell, b.j, b.code,
+         ROW_NUMBER() OVER (PARTITION BY r.vec_id, b.j
+                            ORDER BY {sub_d}, b.code) AS rn
+  FROM res r CROSS JOIN books b
+), codes AS (
+  SELECT vec_id, cell, j, code FROM enc WHERE rn = 1
+), qres AS (
+  SELECT cs.vec_id AS query_id, cs.cell,
+         list_transform(range(1, 65), i -> q.qe[i] - c.cv[i]) AS r
+  FROM cell_scores cs
+  JOIN q ON q.vec_id = cs.vec_id
+  JOIN cents c ON c.cell = cs.cell
+  WHERE cs.vec_id < 5 AND cs.rn <= {_PQ_NPROBE}
+), scored AS (
+  SELECT qr.query_id, cd.vec_id, cd.cell,
+         CAST(SUM({q_sub_d}) AS BIGINT) AS adist
+  FROM qres qr
+  JOIN codes cd ON cd.cell = qr.cell AND cd.vec_id != qr.query_id
+  JOIN books b ON b.j = cd.j AND b.code = cd.code
+  GROUP BY qr.query_id, cd.vec_id, cd.cell
+)
+SELECT query_id, vec_id, adist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INT) AS rank,
+       cell
+FROM scored
+QUALIFY rank <= {_PQ_K}
+"""
+
+
+_SQL_IVFPQ_TOPK = _ivfpq_sql()
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking over free text (redactionprocessor's blocked-value regex
     masking, `processor/redactionprocessor/processor.go:139-166`, lifted to
@@ -2506,4 +2624,5 @@ REGISTRY: list[Query] = [
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
     Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
     Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
+    Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
 ]

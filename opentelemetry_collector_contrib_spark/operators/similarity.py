@@ -16,9 +16,11 @@ round(x*1000) longs for cross-engine exactness.
 
 from __future__ import annotations
 
+from functools import reduce
+
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
@@ -544,6 +546,217 @@ def ivf_topk_quantized(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "qdot", "rank", "cell")
+    )
+
+
+def quantized_pq_codebooks(
+    dim: int, m: int, ksub: int, seed: int = 42, scale: int = 700
+) -> list[list[list[int]]]:
+    """Seeded integer PQ codebooks: m subspaces × ksub centroids × (dim/m)
+    ints (round(gauss·scale)). Plain nested lists so the SAME constants can
+    be inlined into a SQL oracle — the faiss-style k-means-trained float
+    path is ``pq_train_codebooks``; quantizer QUALITY is a pytest concern,
+    cross-engine EXACTNESS is this one's."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rng = np.random.default_rng(seed)
+    return [
+        [
+            [int(round(x * scale)) for x in rng.standard_normal(dim // m)]
+            for _ in range(ksub)
+        ]
+        for _ in range(m)
+    ]
+
+
+def pq_train_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks, k-means per subspace on a bounded
+    driver-side sample (the faiss recipe — training is O(sample), only
+    encode/search run distributed). Returns (m, ksub, dim/m) float64."""
+    sample = df.select(vec_col)
+    n = sample.limit(sample_rows * 2).count()
+    if n > sample_rows:
+        sample = sample.sample(fraction=min(1.0, sample_rows / n * 1.2), seed=seed)
+    X = np.vstack(
+        [np.asarray(r[0], dtype=np.float64) for r in sample.limit(sample_rows).collect()]
+    )
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub))
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)]
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(cents)):
+                mem = S[assign == c]
+                if len(mem):
+                    cents[c] = mem.mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < ksub:  # degenerate tiny sample: repeat last centroid
+            books[j, len(cents) :] = cents[-1]
+    return books
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Integer squared L2 between two int64 arrays (bit-exact anywhere)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_sub(qe: Column, j: int, dsub: int) -> Column:
+    return F.slice(qe, j * dsub + 1, dsub)
+
+
+def pq_encode_quantized(
+    df: DataFrame,
+    codebooks_q: list[list[list[int]]],
+    vec_col: str = "embedding",
+    residual_of: list[list[int]] | None = None,
+    cell_col: str = "cell",
+    out: str = "code",
+    qe_col: str | None = None,
+) -> DataFrame:
+    """PQ codes over quantized int64 vectors, pure JVM expressions: per
+    subspace j the code is argmin_c ‖qe_sub − codebook[j][c]‖² (ties →
+    smaller c, same rule both engines). With ``residual_of`` (the coarse
+    IVF centroids) the encoded vector is the RESIDUAL qe − centroid[cell]
+    — faiss IVFADC. Output ``out`` is an array<int> of m codes; 8 codes
+    replace 64 floats (32× memory/IO compression — the reason PQ survives
+    100 TB: the re-rank scan reads codes, never raw vectors)."""
+    m = len(codebooks_q)
+    dsub = len(codebooks_q[0][0])
+    qe: Column = _quantize(F.col(vec_col)) if qe_col is None else F.col(qe_col)
+    if residual_of is not None:
+        cents = F.array(
+            *[F.array(*[F.lit(v).cast("long") for v in row]) for row in residual_of]
+        )
+        cv = F.element_at(cents, F.col(cell_col) + 1)
+        qe = F.zip_with(qe, cv, lambda a, b: a - b)
+    codes = []
+    for j in range(m):
+        sub = _pq_sub(qe, j, dsub)
+        cands = [
+            F.struct(
+                _sq_l2(sub, F.array(*[F.lit(v).cast("long") for v in cvec])).alias("d"),
+                F.lit(c).alias("c"),
+            )
+            for c, cvec in enumerate(codebooks_q[j])
+        ]
+        codes.append(F.array_sort(F.array(*cands))[0]["c"])
+    return df.withColumn(out, F.array(*codes))
+
+
+def ivfpq_topk(
+    candidates: DataFrame,
+    queries: DataFrame,
+    centroids_q: list[list[int]],
+    codebooks_q: list[list[list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-PQ (faiss IVFADC) top-k, integer-exact: candidates assign to
+    their argmax coarse cell and PQ-encode the RESIDUAL once — from then on
+    a candidate is (id, cell, m codes): the raw vector never enters the
+    search shuffle. Each query probes its n_probe best cells, computes one
+    ADC distance table per probed cell (m × ksub int64 squared-L2 entries
+    against its own residual), and scoring a candidate is m table lookups:
+    adist = Σ_j dtab[j][code_j]. Rank ascending by adist (squared-L2
+    approximation), ties by candidate id.
+
+    Physical plan: candidates shuffle ONCE keyed by cell; the query side
+    (probes × dtabs, a few KB/query) broadcasts; the window tops-k per
+    query. Identical exchange shape to ``ivf_topk_quantized`` but the
+    shuffled payload is m ints instead of the vector — at 10^12 rows that
+    is the difference between shuffling 4 TB and 128 TB. Every value is
+    int64, so the DuckDB oracle replays cells, residuals, codes, tables and
+    ranks exactly from the same inlined constants."""
+    m = len(codebooks_q)
+    ksub = len(codebooks_q[0])
+    dsub = len(codebooks_q[0][0])
+    n_probe = min(n_probe, len(centroids_q))
+    cents = F.array(
+        *[F.array(*[F.lit(v).cast("long") for v in row]) for row in centroids_q]
+    )
+
+    def with_cells(df, id_alias, qe_name):
+        out = df.select(
+            F.col(id_col).alias(id_alias), _quantize(F.col(vec_col)).alias(qe_name)
+        )
+        cells = [
+            F.struct(s.alias("s"), F.lit(-c).alias("nc"))
+            for c, s in enumerate(_cell_scores(F.col(qe_name), centroids_q))
+        ]
+        return out.withColumn("__order", F.reverse(F.array_sort(F.array(*cells))))
+
+    cb = with_cells(candidates, id_col, "__qe").select(
+        id_col, "__qe", (-F.col("__order")[0].nc).alias("cell")
+    )
+    cb = pq_encode_quantized(
+        cb, codebooks_q, residual_of=centroids_q, cell_col="cell",
+        out="code", qe_col="__qe",
+    ).select(id_col, "cell", "code")
+
+    qb = with_cells(queries, "query_id", "__qv").select(
+        "query_id", "__qv",
+        F.explode(
+            F.transform(F.slice("__order", 1, n_probe), lambda x: -x.nc)
+        ).alias("cell"),
+    )
+    qres = F.zip_with(
+        F.col("__qv"), F.element_at(cents, F.col("cell") + 1), lambda a, b: a - b
+    )
+    qb = qb.withColumn("__qres", qres)
+    dtab = F.array(
+        *[
+            F.array(
+                *[
+                    _sq_l2(
+                        _pq_sub(F.col("__qres"), j, dsub),
+                        F.array(*[F.lit(v).cast("long") for v in codebooks_q[j][c]]),
+                    )
+                    for c in range(ksub)
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    qb = qb.select("query_id", "cell", dtab.alias("__dtab"))
+
+    joined = cb.join(F.broadcast(qb), on="cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    adist = reduce(
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("__dtab", j + 1), F.element_at("code", j + 1) + 1
+        ),
+        range(m),
+        F.lit(0).cast("long"),
+    )
+    scored = joined.withColumn("adist", adist)
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "adist", "rank", "cell")
     )
 
 

@@ -241,6 +241,82 @@ class TestIVF:
         assert rows[0].score > 0.999
 
 
+class TestIVFPQ:
+    def _np_adc(self, E, cents, books, qid, n_probe, k):
+        """Independent numpy replay of the full IVFADC chain."""
+        q = {i: np.round(np.asarray(v, dtype=np.float64) * 1000).astype(np.int64)
+             for i, v in E.items()}
+        C = np.array(cents, dtype=np.int64)
+        B = np.array(books, dtype=np.int64)
+        m, ksub, dsub = B.shape
+
+        def order(v):
+            s = (v @ C.T).astype(np.float64) / np.sqrt((C * C).sum(axis=1))
+            return sorted(range(len(C)), key=lambda c: (-s[c], c))
+
+        assign = {i: order(v)[0] for i, v in q.items()}
+        codes = {
+            i: [int(np.argmin((((q[i] - C[assign[i]])[j * dsub:(j + 1) * dsub]
+                                - B[j]) ** 2).sum(axis=1)))
+               for j in range(m)]
+            for i in q
+        }
+        scored = []
+        for cell in order(q[qid])[:n_probe]:
+            qr = q[qid] - C[cell]
+            dtab = [[int((((qr[j * dsub:(j + 1) * dsub] - B[j][c]) ** 2).sum()))
+                     for c in range(ksub)] for j in range(m)]
+            for i, cl in assign.items():
+                if cl == cell and i != qid:
+                    scored.append(
+                        (sum(dtab[j][codes[i][j]] for j in range(m)), i, cell)
+                    )
+        scored.sort()
+        return scored[:k]
+
+    def test_ivfpq_matches_numpy_replay(self, emb):
+        cents = sim.quantized_pq_codebooks(8, 1, 4, seed=5, scale=800)[0]
+        books = sim.quantized_pq_codebooks(8, 4, 8, seed=9, scale=700)
+        queries = emb.filter("vec_id = 0")
+        out = sim.ivfpq_topk(emb, queries, cents, books, k=5, n_probe=2)
+        got = [(r.adist, r.vec_id, r.cell)
+               for r in sorted(out.collect(), key=lambda r: r.rank)]
+        E = {r.vec_id: r.embedding for r in emb.collect()}
+        assert got == self._np_adc(E, cents, books, 0, n_probe=2, k=5)
+
+    def test_trained_codebooks_beat_seeded_on_adc_error(self, emb):
+        """k-means training is the quality path: average quantization error
+        (true residual vs codebook reconstruction) must drop vs seeded
+        random books at the same (m, ksub)."""
+        E = np.vstack([np.asarray(r.embedding, dtype=np.float64)
+                       for r in emb.collect()])
+        trained = sim.pq_train_codebooks(emb, m=4, ksub=8, sample_rows=100,
+                                         iters=8, seed=3)
+        seeded = np.array(sim.quantized_pq_codebooks(8, 4, 8, seed=9, scale=700),
+                          dtype=np.float64) / 1000.0
+
+        def err(B):
+            tot = 0.0
+            for j in range(4):
+                S = E[:, j * 2:(j + 1) * 2]
+                d2 = ((S[:, None, :] - B[j][None]) ** 2).sum(axis=2)
+                tot += d2.min(axis=1).sum()
+            return tot
+
+        assert err(trained) < err(seeded)
+
+    def test_ivfpq_code_payload_is_m_ints(self, emb):
+        cents = sim.quantized_pq_codebooks(8, 1, 4, seed=5, scale=800)[0]
+        books = sim.quantized_pq_codebooks(8, 4, 8, seed=9, scale=700)
+        enc = sim.pq_encode_quantized(
+            emb.withColumn("cell", F.lit(0)), books, vec_col="embedding",
+            residual_of=cents, cell_col="cell",
+        )
+        row = enc.select("code").first()
+        assert len(row.code) == 4
+        assert all(0 <= c < 8 for c in row.code)
+
+
 class TestRealCodecs:
     def test_netpbm_roundtrip_all_variants(self):
         """Pure-python PGM/PPM decode: binary round-trip + ASCII forms +
