@@ -2498,6 +2498,54 @@ QUALIFY rank <= {_PQ_K}
 _SQL_IVFPQ_TOPK = _ivfpq_sql()
 
 
+_CLS_POS_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+_CLS_THRESHOLD = 260_000
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style quality-classifier gate, trained AND scored distributed:
+    label = doc comes from a designated high-quality source set, features =
+    the doc's tokens, weights = fixed-point Laplace-smoothed P(hq | token)
+    (integer floor division — both engines replay training bit-exactly).
+    Training is one vocab-bounded shuffle; scoring broadcast-joins the
+    weight table and re-aggregates per doc."""
+    from .operators.classifier import score_documents, train_token_classifier
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    labeled = toks.withColumn(
+        "label", F.col("source").isin(*_CLS_POS_SOURCES).cast("int")
+    )
+    w = train_token_classifier(labeled, "tokens", "label")
+    return score_documents(
+        labeled, w, "tokens", "doc_id", threshold=_CLS_THRESHOLD
+    ).select("doc_id", "n_tok", "score_sum", "score_mean", "keep")
+
+
+_SQL_QUALITY_CLS = _SQL_BASE + f"""
+, lab AS (
+  SELECT doc_id, tokens,
+         CASE WHEN source IN {_CLS_POS_SOURCES} THEN 1 ELSE 0 END AS y
+  FROM tok
+), ex AS (
+  SELECT doc_id, y, UNNEST(tokens) AS token FROM lab
+), w AS (
+  SELECT token, (SUM(y) + 1) * 1000000 // (COUNT(*) + 2) AS weight
+  FROM ex GROUP BY token
+), sc AS (
+  SELECT e.doc_id,
+         CAST(COUNT(*) AS INT) AS n_tok,
+         CAST(SUM(w.weight) AS BIGINT) AS score_sum
+  FROM ex e JOIN w USING (token) GROUP BY e.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok, score_sum,
+       CAST(score_sum // n_tok AS BIGINT) AS score_mean,
+       (score_sum // n_tok) >= {_CLS_THRESHOLD} AS keep
+FROM sc
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking over free text (redactionprocessor's blocked-value regex
     masking, `processor/redactionprocessor/processor.go:139-166`, lifted to
@@ -2625,4 +2673,5 @@ REGISTRY: list[Query] = [
     Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
     Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
     Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
+    Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
 ]
