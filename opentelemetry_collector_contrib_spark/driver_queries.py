@@ -1692,6 +1692,48 @@ SELECT * FROM gray UNION ALL SELECT * FROM rgb
 """
 
 
+def _q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL GIF round-trip (`operators/gif.py`: pure-python
+    variable-width LZW, palettes, Appendix-E interlace — no PIL): even docs
+    encode an 8×8 grayscale GIF, odd docs a 4×8 16-color INTERLACED GIF
+    with a formula palette, both decoded back in the same mapInPandas pass.
+    The LZW index stream is lossless, so the decoded-RGB integer stats are
+    re-derivable from the tokens alone; pix_wsum over the flat [r,g,b,...]
+    order pins both the de-interlace row order and the channel layout."""
+    from .operators.multimodal import gif_features_from_tokens
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return gif_features_from_tokens(toks).select(
+        "media_id", "mode", "width", "height", "pix_sum", "pix_wsum"
+    )
+
+
+_SQL_GIF_FEATURES = _SQL_BASE + """
+, gray AS (
+  SELECT doc_id AS media_id, 'gray256' AS mode, 8 AS width, 8 AS height,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> 3 * (CASE WHEN j <= len(tokens) THEN tokens[j] % 256 ELSE 0 END))) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(range(1, 65),
+           j -> (CASE WHEN j <= len(tokens) THEN tokens[j] % 256 ELSE 0 END) * (9*j - 3))) AS BIGINT) AS pix_wsum
+  FROM base WHERE doc_id % 2 = 0
+), pal AS (
+  SELECT doc_id AS media_id, 'pal16i' AS mode, 8 AS width, 4 AS height,
+         CAST(list_sum(list_transform(range(1, 33),
+           j -> 255 + ((CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END)
+                       * (CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END) * 7) % 256)) AS BIGINT) AS pix_sum,
+         CAST(list_sum(list_transform(range(1, 33),
+           j -> (CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END) * 17 * (3*j - 2)
+              + (255 - (CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END) * 17) * (3*j - 1)
+              + (((CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END)
+                  * (CASE WHEN j <= len(tokens) THEN tokens[j] % 16 ELSE 0 END) * 7) % 256) * (3*j))) AS BIGINT) AS pix_wsum
+  FROM base WHERE doc_id % 2 = 1
+)
+SELECT * FROM gray UNION ALL SELECT * FROM pal
+"""
+
+
 def _q_ottl_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OTTL statement sequence over events — parity evidence for
     the compiler (set/where/not, Int truncation, ConvertCase, SHA256)."""
@@ -2674,4 +2716,5 @@ REGISTRY: list[Query] = [
     Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
     Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
     Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
+    Query("gif_features", _q_gif_features, _SQL_GIF_FEATURES),
 ]

@@ -394,11 +394,13 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
                 pdf["media_id"], pdf["payload"], pdf["mime"]
             ):
                 if mime in ("image/x-portable-graymap", "image/x-portable-pixmap",
-                            "image/png", "image/jpeg"):
+                            "image/png", "image/jpeg", "image/gif"):
                     if mime == "image/png":
                         decode = decode_png
                     elif mime == "image/jpeg":
                         from .jpeg import decode_jpeg as decode
+                    elif mime == "image/gif":
+                        from .gif import decode_gif as decode
                     else:
                         decode = decode_netpbm
                     img = decode(bytes(payload))
@@ -589,6 +591,72 @@ def png_features_from_tokens(
             ])
 
     return df.mapInPandas(gen, PNG_STATS_SCHEMA)
+
+
+GIF_STATS_SCHEMA = (
+    "media_id long, mode string, width int, height int, n_gif_bytes int, "
+    "pix_sum long, pix_wsum long"
+)
+
+
+def gif_features_from_tokens(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Oracle-checkable distributed GIF round-trip (`gif.py`: pure-python
+    LZW + palette + interlace): even ids → 8×8 grayscale (index j =
+    tokens[j]%256, identity palette, sequential); odd ids → 4×8 with a
+    16-color FORMULA palette (r=i·17, g=255−i·17, b=i²·7 mod 256) encoded
+    INTERLACED, so palette mapping, small code widths, and the Appendix-E
+    de-interlace all run in the corpus. GIF's index stream is lossless, so
+    every stat of the decoded RGB raster is re-derivable from the tokens
+    alone; pix_wsum over the flat [r,g,b,...] order pins channel layout.
+    n_gif_bytes (compressed size) is excluded from the oracle query."""
+    from .gif import decode_gif, encode_gif
+
+    pal16 = np.stack(
+        [
+            np.arange(16, dtype=np.int64) * 17,
+            255 - np.arange(16, dtype=np.int64) * 17,
+            (np.arange(16, dtype=np.int64) ** 2 * 7) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, toks in zip(pdf[id_col], pdf[tokens_col]):
+                mid = int(mid)
+                t = np.asarray(toks, dtype=np.int64)
+                if mid % 2 == 0:
+                    buf = np.zeros(64, dtype=np.uint8)
+                    m = min(64, len(t))
+                    buf[:m] = (t[:m] % 256).astype(np.uint8)
+                    payload = encode_gif(buf.reshape(8, 8))
+                    mode = "gray256"
+                else:
+                    buf = np.zeros(32, dtype=np.uint8)
+                    m = min(32, len(t))
+                    buf[:m] = (t[:m] % 16).astype(np.uint8)
+                    payload = encode_gif(
+                        buf.reshape(4, 8), palette=pal16, interlace=True
+                    )
+                    mode = "pal16i"
+                img = decode_gif(payload)
+                flat = img.reshape(-1).astype(np.int64)
+                rows.append(dict(
+                    media_id=mid, mode=mode,
+                    width=img.shape[1], height=img.shape[0],
+                    n_gif_bytes=len(payload),
+                    pix_sum=int(flat.sum()),
+                    pix_wsum=int((flat * np.arange(1, len(flat) + 1)).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "mode", "width", "height", "n_gif_bytes",
+                "pix_sum", "pix_wsum",
+            ])
+
+    return df.mapInPandas(gen, GIF_STATS_SCHEMA)
 
 
 def decode_and_featurize(df: DataFrame, fake: bool = True) -> DataFrame:

@@ -318,6 +318,52 @@ class TestIVFPQ:
 
 
 class TestRealCodecs:
+    def test_gif_roundtrip_gray_palette_interlace(self):
+        from opentelemetry_collector_contrib_spark.operators.gif import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(3)
+        for shape in [(1, 1), (8, 8), (13, 27), (100, 311)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            rgb = decode_gif(encode_gif(px))
+            assert rgb.shape == shape + (3,)
+            assert (rgb == np.stack([px] * 3, axis=2)).all()
+        # small palette: decoded RGB maps through it exactly
+        pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]],
+                       dtype=np.uint8)
+        px = rng.integers(0, 4, size=(17, 23), dtype=np.uint8)
+        assert (decode_gif(encode_gif(px, palette=pal)) == pal[px]).all()
+        # Appendix-E interlace is a row permutation — identity after decode
+        px = rng.integers(0, 256, size=(37, 19), dtype=np.uint8)
+        assert (decode_gif(encode_gif(px, interlace=True))[:, :, 0] == px).all()
+
+    def test_gif_lzw_dictionary_reset_and_extensions(self):
+        from opentelemetry_collector_contrib_spark.operators.gif import (
+            decode_gif,
+            encode_gif,
+        )
+
+        rng = np.random.default_rng(5)
+        # long repetitive and long random streams both cross the 4096-entry
+        # dictionary reset; all must round-trip bit-exactly
+        for px in [
+            np.tile(np.arange(256, dtype=np.uint8), 300).reshape(300, 256),
+            rng.integers(0, 256, size=(200, 400), dtype=np.uint8),
+            np.zeros((500, 100), dtype=np.uint8),
+        ]:
+            assert (decode_gif(encode_gif(px))[:, :, 0] == px).all()
+        # decoder skips extension blocks (e.g. a spliced-in GCE)
+        base = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        enc = bytearray(encode_gif(base))
+        idx = enc.index(0x2C, 13 + 768)
+        gce = bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+        spliced = bytes(enc[:idx]) + gce + bytes(enc[idx:])
+        assert (decode_gif(spliced)[:, :, 0] == base).all()
+        with pytest.raises(ValueError):
+            decode_gif(b"NOTAGIF")
+
     def test_netpbm_roundtrip_all_variants(self):
         """Pure-python PGM/PPM decode: binary round-trip + ASCII forms +
         comments in the header."""
