@@ -1880,6 +1880,76 @@ GROUP BY inv.doc_id
 _SQL_DECONTAMINATE = _decontaminate_sql()
 
 
+def _q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-gated decontamination — the 100 TB shape: corpus shingles pass
+    a bits-only membership test against a literal KB-sized bitmap (no join,
+    no shuffle; fused into the scan) and only the survivors join the exact
+    broadcast benchmark set, which removes the false positives. Output
+    includes the bloom hit count per doc, so the oracle verifies the bloom
+    bit math itself (DuckDB rebuilds the identical bitmap with bit_or),
+    not just the exact survivor set."""
+    from .operators.dedup import decontaminate_bloom
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    bench = toks.filter(F.col("doc_id") % 37 == 0)
+    return decontaminate_bloom(toks, bench, "doc_id", "tokens", n=4)
+
+
+def _decontaminate_bloom_sql() -> str:
+    from .functions.hashing import mix32_sql
+    from .operators.dedup import BLOOM_BITS, BLOOM_K
+
+    v = 50257
+    c1, c2, c3 = v, v * v, v * v * v
+    m32 = 1 << 32
+    pw = "[" + ", ".join(str(1 << p) for p in range(32)) + "]"
+
+    def fold(sg: str) -> str:
+        return f"((({sg}) // {m32} + ({sg}) % {m32}) % {m32})"
+
+    def bit(sg: str, seed: int) -> str:
+        return f"({mix32_sql(fold(sg), seed=seed)} % {BLOOM_BITS})"
+
+    bench_bits = ", ".join(bit("sg", i) for i in range(1, BLOOM_K + 1))
+    passes = " AND ".join(
+        f"((bm.bm[({bit('inv.sg', i)}) // 32 + 1] // ({pw}[({bit('inv.sg', i)}) % 32 + 1])) % 2 = 1)"
+        for i in range(1, BLOOM_K + 1)
+    )
+    return _SQL_BASE + f"""
+, sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(tokens) - 2),
+           i -> tokens[i]*{c3}::BIGINT + tokens[i+1]*{c2}::BIGINT
+              + tokens[i+2]*{c1}::BIGINT + tokens[i+3])) AS shingles
+  FROM base
+), bsh AS (
+  SELECT DISTINCT UNNEST(shingles) AS sg FROM sh WHERE doc_id % 37 = 0
+), bbits AS (
+  SELECT UNNEST([{bench_bits}]) AS b FROM bsh
+), words AS (
+  SELECT r.range AS w_idx, COALESCE(bit_or(CAST({pw}[CAST(b % 32 AS INT) + 1] AS BIGINT)), 0) AS w
+  FROM range({BLOOM_BITS // 32}) r LEFT JOIN bbits ON bbits.b // 32 = r.range
+  GROUP BY r.range
+), bm AS (
+  SELECT list(w ORDER BY w_idx) AS bm FROM words
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS sg FROM sh
+), surv AS (
+  SELECT inv.doc_id, inv.sg FROM inv CROSS JOIN bm WHERE {passes}
+)
+SELECT surv.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS bloom_ngrams,
+       CAST(COUNT(bsh.sg) AS BIGINT) AS contaminated_ngrams
+FROM surv LEFT JOIN bsh ON surv.sg = bsh.sg
+GROUP BY surv.doc_id
+"""
+
+
+_SQL_DECONTAMINATE_BLOOM = _decontaminate_bloom_sql()
+
+
 _PACK_LEN = 512
 
 
@@ -2717,4 +2787,5 @@ REGISTRY: list[Query] = [
     Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
     Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
     Query("gif_features", _q_gif_features, _SQL_GIF_FEATURES),
+    Query("decontaminate_bloom", _q_decontaminate_bloom, _SQL_DECONTAMINATE_BLOOM),
 ]

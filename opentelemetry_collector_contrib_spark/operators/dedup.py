@@ -540,6 +540,111 @@ def decontaminate(
     return corpus.join(bad, on=id_col, how="left_anti")
 
 
+BLOOM_BITS = 1 << 15  # 32768 bits = 1024 32-bit words (KBs, independent of corpus)
+BLOOM_K = 4
+_BLOOM_M32 = 1 << 32
+
+
+def _mix32_py(h: int, seed: int) -> int:
+    """Driver-side replica of ``hashing.mix32_col`` (same split-multiply
+    modular mix — keep the three in sync: Column, SQL, python)."""
+    from ..functions.hashing import _KNUTH, _M16, _M32
+
+    h = (h + seed) % _M32
+    lo, hi = h % _M16, h // _M16
+    return (lo * _KNUTH + (hi * _KNUTH % _M16) * _M16) % _M32
+
+
+def _bloom_fold_col(key):
+    """Fold a non-negative int64 key to 32 bits, overflow-free and
+    engine-agnostic: high32 + low32 mod 2^32."""
+    k = key.cast("long")
+    return (F.floor(k / _BLOOM_M32).cast("long") + F.pmod(k, F.lit(_BLOOM_M32))) % F.lit(
+        _BLOOM_M32
+    )
+
+
+def bloom_bitmap(keys, n_bits: int = BLOOM_BITS, k: int = BLOOM_K) -> list[int]:
+    """Bloom bitmap (32-bit words) over int64 keys, built driver-side —
+    the benchmark side of decontamination is small by definition, like the
+    faiss-style quantizer training sample."""
+    words = [0] * (n_bits // 32)
+    for key in keys:
+        f = (key // _BLOOM_M32 + key % _BLOOM_M32) % _BLOOM_M32
+        for i in range(1, k + 1):
+            b = _mix32_py(f, i) % n_bits
+            words[b // 32] |= 1 << (b % 32)
+    return words
+
+
+def bloom_might_contain_col(key, bitmap: list[int], n_bits: int = BLOOM_BITS, k: int = BLOOM_K):
+    """JVM-only membership test: k mix32 probes against a literal bitmap.
+    No UDF, no join — the bitmap rides into every task as a few-KB literal
+    array, so the corpus side never shuffles for the prefilter. All-integer
+    arithmetic (power-of-two division via a literal table, not pow())."""
+    from ..functions.hashing import mix32_col
+
+    bm = F.array(*[F.lit(w).cast("long") for w in bitmap])
+    pw = F.array(*[F.lit(1 << p).cast("long") for p in range(32)])
+    fold = _bloom_fold_col(key)
+    cond = F.lit(True)
+    for i in range(1, k + 1):
+        b = mix32_col(fold, seed=i) % F.lit(n_bits)
+        word = F.element_at(bm, (b / F.lit(32)).cast("int") + 1)
+        bit = F.element_at(pw, F.pmod(b, F.lit(32)).cast("int") + 1)
+        cond = cond & (F.pmod((word / bit).cast("long"), F.lit(2)) == 1)
+    return cond
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 8,
+    n_bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+    max_bench_shingles: int = 5_000_000,
+) -> DataFrame:
+    """Bloom-gated benchmark decontamination — the 100 TB shape of
+    ``decontaminate``: instead of joining EVERY corpus shingle against the
+    benchmark set, corpus shingles first pass a bits-only membership test
+    against a literal bitmap (no join, no shuffle, fused into the scan);
+    only the tiny surviving fraction joins the exact broadcast set. False
+    positives are removed by that exact join, so the result is exact; the
+    bloom only bounds how much data reaches the join. Returns
+    (id, bloom_ngrams, contaminated_ngrams) per doc with ≥1 bloom hit —
+    bloom_ngrams > contaminated_ngrams rows are the audited fp band.
+
+    The bitmap stays KBs no matter how large the corpus is; its size vs
+    the benchmark shingle count sets the fp rate ((1-e^{-kn/m})^k)."""
+    bench_sh = (
+        ngram_shingles(benchmark.select(tokens_col), tokens_col, n)
+        .select(F.explode("shingles").alias("sg"))
+        .distinct()
+    )
+    keys = [r["sg"] for r in bench_sh.limit(max_bench_shingles + 1).collect()]
+    if len(keys) > max_bench_shingles:
+        raise ValueError(
+            f"benchmark shingle set exceeds {max_bench_shingles}; "
+            "raise max_bench_shingles or use decontaminate()"
+        )
+    bm = bloom_bitmap(keys, n_bits, k)
+    inv = ngram_shingles(corpus.select(id_col, tokens_col), tokens_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("sg")
+    )
+    survivors = inv.filter(bloom_might_contain_col(F.col("sg"), bm, n_bits, k))
+    exact = bench_sh.withColumn("__hit", F.lit(1))
+    return (
+        survivors.join(F.broadcast(exact), on="sg", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("bloom_ngrams"),
+            F.count("__hit").cast("long").alias("contaminated_ngrams"),
+        )
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,

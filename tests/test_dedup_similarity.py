@@ -241,6 +241,53 @@ class TestIVF:
         assert rows[0].score > 0.999
 
 
+class TestBloomDecontaminate:
+    def test_mix32_python_replica_matches_column(self, spark):
+        from pyspark.sql import functions as F
+
+        from opentelemetry_collector_contrib_spark.functions.hashing import mix32_col
+        from opentelemetry_collector_contrib_spark.operators.dedup import _mix32_py
+
+        keys = [0, 1, 97, 65535, 65536, 4294967295, 1234567890]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {r.k: r.m for r in df.select("k", mix32_col(F.col("k"), seed=3).alias("m")).collect()}
+        assert got == {k: _mix32_py(k % (1 << 32), 3) for k in keys}
+
+    def test_bloom_exact_counts_match_plain_decontaminate(self, spark):
+        from pyspark.sql import functions as F
+
+        corpus = spark.createDataFrame(
+            [(i, [i % 7, (i * 3) % 11, i % 5, (i + 1) % 7, i % 11, (i * 2) % 9])
+             for i in range(60)],
+            "doc_id long, tokens array<int>",
+        )
+        bench = corpus.filter(F.col("doc_id") % 9 == 0)
+        plain = {r.doc_id: r.contaminated_ngrams
+                 for r in dd.decontaminate(corpus, bench, "doc_id", "tokens", n=3).collect()}
+        bloom = {r.doc_id: (r.bloom_ngrams, r.contaminated_ngrams)
+                 for r in dd.decontaminate_bloom(corpus, bench, "doc_id", "tokens", n=3).collect()}
+        # exact hit counts identical; bloom candidates are a superset
+        assert {d: c for d, (_, c) in bloom.items() if c > 0} == plain
+        assert all(b >= c for b, c in bloom.values())
+
+    def test_bloom_prefilter_plan_has_no_extra_join(self, spark):
+        """The membership test must be pure scan-side arithmetic: the only
+        join in the plan is the exact broadcast verify, and the bitmap rides
+        as a literal (no shuffle before the final per-doc aggregate)."""
+        from pyspark.sql import functions as F
+
+        corpus = spark.createDataFrame(
+            [(i, [1, 2, 3, 4, 5]) for i in range(10)], "doc_id long, tokens array<int>"
+        )
+        bench = corpus.filter(F.col("doc_id") == 0)
+        plan = (
+            dd.decontaminate_bloom(corpus, bench, "doc_id", "tokens", n=3)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("BroadcastHashJoin") == 1
+        assert "SortMergeJoin" not in plan
+
+
 class TestIVFPQ:
     def _np_adc(self, E, cents, books, qid, n_probe, k):
         """Independent numpy replay of the full IVFADC chain."""
