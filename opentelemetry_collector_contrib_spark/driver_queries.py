@@ -2658,6 +2658,117 @@ FROM sc
 """
 
 
+_RJ_BIN_S = 120  # range-join bin width (seconds)
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join without a nested-loop plan: maintenance
+    windows (every 101st event opens [ts, ts + (id%7+1) minutes)) explode
+    to the 2-minute bins they overlap, points map to their ONE bin, and
+    the match is an equi-join on bin + residual filter — each (point,
+    interval) pair is produced exactly once by construction. The oracle is
+    DuckDB's native inequality join over the same windows."""
+    from .operators.joins import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ensure_utc(spark)
+    pts = ev.select("event_id", F.unix_timestamp("ts").alias("ts_s"))
+    ivs = (
+        ev.filter(F.col("event_id") % 101 == 0)
+        .select(
+            F.col("event_id").alias("iv_id"),
+            F.unix_timestamp("ts").alias("start_s"),
+            (F.unix_timestamp("ts") + (F.col("event_id") % 7 + 1) * 60).alias("end_s"),
+        )
+    )
+    out = range_join(pts, ivs, "ts_s", "start_s", "end_s", bin_width=_RJ_BIN_S)
+    return out.select("event_id", "ts_s", "iv_id", "start_s", "end_s")
+
+
+_SQL_RANGE_JOIN = """
+WITH pts AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS ts_s FROM events
+), ivs AS (
+  SELECT event_id AS iv_id,
+         epoch_us(ts) // 1000000 AS start_s,
+         epoch_us(ts) // 1000000 + (event_id % 7 + 1) * 60 AS end_s
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT p.event_id, p.ts_s, i.iv_id, i.start_s, i.end_s
+FROM pts p JOIN ivs i ON i.start_s <= p.ts_s AND p.ts_s < i.end_s
+"""
+
+
+_CMS_KEYS = 200
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch vs ground truth over the corpus token stream:
+    build the d×w sketch in one bounded groupBy, estimate the first 200
+    token ids, and join the exact counts — est ≥ true always (collisions
+    only add), and the sketch is deterministic given mix32, so DuckDB
+    replays every counter exactly."""
+    from .operators.sketches import cms_build, cms_estimate
+
+    toks = _tokens_of_docs(spark, sf_dir)
+    stream = toks.select(F.explode("tokens").alias("token"))
+    sketch = cms_build(stream, "token")
+    keys = spark.range(_CMS_KEYS).select(F.col("id").cast("int").alias("token"))
+    est = cms_estimate(keys, sketch, "token")
+    true = (
+        stream.filter(F.col("token") < _CMS_KEYS)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    return (
+        est.join(true, on="token", how="left")
+        .select(
+            "token",
+            "est",
+            F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+        )
+    )
+
+
+def _cms_sql() -> str:
+    from .functions.hashing import mix32_sql
+    from .operators.sketches import CMS_DEPTH, CMS_WIDTH
+
+    probes = ", ".join(
+        f"({mix32_sql('token', seed=r + 1)} % {CMS_WIDTH})" for r in range(CMS_DEPTH)
+    )
+    return _SQL_BASE + f"""
+, stream AS (
+  SELECT UNNEST(tokens) AS token FROM base
+), probed AS (
+  SELECT token, UNNEST(range({CMS_DEPTH})) AS r,
+         UNNEST([{probes}]) AS bucket
+  FROM stream
+), sketch AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM probed GROUP BY r, bucket
+), keys AS (
+  SELECT CAST(range AS INT) AS token FROM range({_CMS_KEYS})
+), kprobed AS (
+  SELECT token, UNNEST(range({CMS_DEPTH})) AS r,
+         UNNEST([{probes}]) AS bucket
+  FROM keys
+), est AS (
+  SELECT k.token, MIN(COALESCE(s.cnt, 0)) AS est
+  FROM kprobed k LEFT JOIN sketch s ON s.r = k.r AND s.bucket = k.bucket
+  GROUP BY k.token
+)
+SELECT e.token, e.est,
+       CAST(COALESCE(t.c, 0) AS BIGINT) AS true_cnt
+FROM est e LEFT JOIN (
+  SELECT token, COUNT(*) AS c FROM stream WHERE token < {_CMS_KEYS} GROUP BY token
+) t ON t.token = e.token
+"""
+
+
+_SQL_CMS = _cms_sql()
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII masking over free text (redactionprocessor's blocked-value regex
     masking, `processor/redactionprocessor/processor.go:139-166`, lifted to
@@ -2788,4 +2899,6 @@ REGISTRY: list[Query] = [
     Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
     Query("gif_features", _q_gif_features, _SQL_GIF_FEATURES),
     Query("decontaminate_bloom", _q_decontaminate_bloom, _SQL_DECONTAMINATE_BLOOM),
+    Query("range_join", _q_range_join, _SQL_RANGE_JOIN),
+    Query("cms_counts", _q_cms_counts, _SQL_CMS),
 ]
