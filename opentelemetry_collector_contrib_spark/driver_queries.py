@@ -2827,6 +2827,191 @@ FROM cnt
 _SQL_PII_SCRUB = _pii_sql()
 
 
+def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication REMOVAL (Lee et al. 2021 §4 ExactSubstr
+    policy): every token position covered by a 4-gram occurring in ≥2
+    distinct docs is cut; docs reassemble surviving tokens in order. Same
+    packed-int64 inverted index as dup_spans plus one id-keyed shuffle of
+    (id, window starts) — token payloads never enter the index shuffles."""
+    from .operators.dedup import remove_dup_spans
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    out = remove_dup_spans(toks, "doc_id", "tokens", n=4, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(F.col("tokens_clean"), lambda x: x.cast("string")))
+        .alias("tokens_str"),
+        "n_tok",
+        "n_removed",
+    )
+
+
+def _dup_span_removal_sql() -> str:
+    v = 50257
+    gram = " + ".join(f"tokens[i+{k}]*{v ** (3 - k)}::BIGINT" for k in range(4))
+    return _SQL_BASE + f"""
+, w AS (
+  SELECT doc_id, g.i AS pos, {gram} AS gm
+  FROM base, LATERAL (SELECT UNNEST(range(1, len(tokens) - 2)) AS i) g(i)
+  WHERE len(tokens) >= 4
+), dup AS (
+  SELECT gm FROM w GROUP BY gm HAVING COUNT(DISTINCT doc_id) >= 2
+), starts AS (
+  SELECT w.doc_id, list_sort(list(w.pos)) AS ss
+  FROM w JOIN dup USING (gm) GROUP BY w.doc_id
+), cleaned AS (
+  SELECT b.doc_id, b.n_tok,
+         list_filter(list_transform(range(1, b.n_tok + 1),
+             j -> CASE WHEN len(list_filter(COALESCE(s.ss, []), st -> st <= j AND j < st + 4)) > 0
+                       THEN NULL ELSE b.tokens[j] END),
+             x -> x IS NOT NULL) AS kept
+  FROM base b LEFT JOIN starts s ON b.doc_id = s.doc_id
+)
+SELECT doc_id, COALESCE(array_to_string(kept, ','), '') AS tokens_str,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(n_tok - len(kept) AS BIGINT) AS n_removed
+FROM cleaned
+"""
+
+
+_SQL_DUP_SPAN_REMOVAL = _dup_span_removal_sql()
+
+
+_SEM_CELLS, _SEM_SEED = 8, 13
+_SEM_NUM, _SEM_DEN = 1, 2
+
+
+def _sem_centroids_q() -> list[list[int]]:
+    from .operators.similarity import quantized_hyperplanes
+
+    return quantized_hyperplanes(64, _SEM_CELLS, seed=_SEM_SEED)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): integer coarse-quantizer cells bound
+    the pairwise cosine work; within each cell a row is dropped iff a
+    smaller-id near-dup (cos ≥ {num}/{den}, integer-exact quantized test)
+    exists. The oracle replays cells, pairs, and verdicts from a VALUES
+    table of the same centroids (the ivf_topk determinism recipe)."""
+    from .operators.similarity import semdedup_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup_quantized(
+        emb, _sem_centroids_q(), id_col="vec_id", vec_col="embedding",
+        threshold_num=_SEM_NUM, threshold_den=_SEM_DEN,
+    ).select("vec_id", "cell", "n_dups", "kept")
+
+
+def _semdedup_sql() -> str:
+    import math
+
+    rows = []
+    for c, row in enumerate(_sem_centroids_q()):
+        norm = repr(math.sqrt(sum(v * v for v in row)))
+        rows.append(f"({c}, {row}::BIGINT[], {norm})")
+    values = ",\n    ".join(rows)
+    num2, den2 = _SEM_NUM * _SEM_NUM, _SEM_DEN * _SEM_DEN
+    return f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), cents(cell, cv, cnorm) AS (
+  VALUES {values}
+), cell_scores AS (
+  SELECT q.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i])) AS BIGINT) AS DOUBLE) / c.cnorm DESC, c.cell) AS rn
+  FROM q CROSS JOIN cents c
+), assign AS (
+  SELECT cs.vec_id, cs.cell, q.qe,
+         CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS qn
+  FROM cell_scores cs JOIN q ON q.vec_id = cs.vec_id WHERE cs.rn = 1
+), pairs AS (
+  SELECT a.vec_id AS ida,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS qd,
+         a.qn AS na, b.qn AS nb
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+), dups AS (
+  SELECT ida, COUNT(*) AS n_dups FROM pairs
+  WHERE qd >= 0 AND qd*qd*{den2} >= na*nb*{num2}
+  GROUP BY ida
+)
+SELECT a.vec_id, a.cell,
+       CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(d.n_dups, 0) = 0 AS kept
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.ida
+"""
+
+
+_SQL_SEMDEDUP = _semdedup_sql()
+
+
+_BM25_K = 10
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked keyword retrieval (Okapi BM25, fixed-point integer scores):
+    query = the distinct first-5 tokens of doc 0 (contamination-forensics
+    shape: "which docs look like this doc's opening"). Postings prefilter
+    to the query terms before any exchange; ranking is orderBy+limit
+    (TakeOrderedAndProject)."""
+    from .operators.search import bm25_topk
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    first = toks.filter(F.col("doc_id") == 0).select(
+        F.slice("tokens", 1, 5).alias("t")
+    ).collect()
+    terms = sorted(set(first[0]["t"])) if first else []
+    return bm25_topk(toks, terms, id_col="doc_id", tokens_col="tokens", k=_BM25_K)
+
+
+def _bm25_sql() -> str:
+    from .operators.search import BD, BN, K1D, K1N, SCORE_SCALE
+
+    c_num = (K1N + K1D) * BD   # tf·(k1+1) numerator multiplier
+    c_tf = K1D * BD            # tf denominator multiplier
+    c_const = K1N * (BD - BN)  # k1(1-b) · DL
+    c_dl = K1N * BN            # k1·b · dl·N
+    return _SQL_BASE + f"""
+, terms AS (
+  SELECT DISTINCT UNNEST(tokens[1:5]) AS term FROM base WHERE doc_id = 0
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS total_len FROM base
+), postings AS (
+  SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS dl, g.tok AS term
+  FROM base b, LATERAL (SELECT UNNEST(b.tokens) AS tok) g(tok)
+  WHERE g.tok IN (SELECT term FROM terms)
+), tf AS (
+  SELECT doc_id, term, dl, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM postings GROUP BY doc_id, term, dl
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t FROM tf GROUP BY term
+), scores AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           (CAST(2*(s.n_docs - d.df_t) + 1 AS DOUBLE) / CAST(2*d.df_t + 1 AS DOUBLE))
+           * (CAST(tf.tf * {c_num} * s.total_len AS DOUBLE)
+              / CAST(tf.tf * {c_tf} * s.total_len + {c_const} * s.total_len + {c_dl} * tf.dl * s.n_docs AS DOUBLE))
+           * {float(SCORE_SCALE)}) AS BIGINT) AS term_score
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(term_score) AS BIGINT) AS score_q,
+         CAST(COUNT(*) AS INT) AS n_terms
+  FROM scores GROUP BY doc_id
+)
+SELECT doc_id, score_q, n_terms,
+       CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+FROM per_doc ORDER BY score_q DESC, doc_id LIMIT {_BM25_K}
+"""
+
+
+_SQL_BM25 = _bm25_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -2901,4 +3086,7 @@ REGISTRY: list[Query] = [
     Query("decontaminate_bloom", _q_decontaminate_bloom, _SQL_DECONTAMINATE_BLOOM),
     Query("range_join", _q_range_join, _SQL_RANGE_JOIN),
     Query("cms_counts", _q_cms_counts, _SQL_CMS),
+    Query("dup_span_removal", _q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
+    Query("semdedup", _q_semdedup, _SQL_SEMDEDUP),
+    Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
 ]

@@ -809,3 +809,77 @@ def duplicated_spans(
         .join(dup_counts, on=id_col, how="left")
         .withColumn("dup_pos", F.coalesce(F.col("dup_pos"), F.lit(0).cast("long")))
     )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n: int = 4,
+    min_docs: int = 2,
+    out: str = "tokens_clean",
+) -> DataFrame:
+    """Exact-substring duplication REMOVAL — the policy half of
+    ``duplicated_spans`` (Lee et al. 2021 §4 cut the duplicated substring
+    out of the corpus rather than dropping whole documents; ExactSubstr in
+    their code): every token position covered by an n-token window whose
+    exact n-gram occurs in ≥ ``min_docs`` distinct documents is deleted,
+    and each document reassembles its surviving tokens in order.
+
+    Physical shape on top of the ``duplicated_spans`` inverted index
+    (packed-int64 grams; token payloads never enter the index shuffles):
+    one shuffle to count distinct docs per gram, the surviving dup-gram set
+    joined back on the packed long, ONE id-keyed shuffle that moves only
+    (id, window-start positions), and a broadcast-shaped join back to the
+    token rows. The cut itself is a per-row JVM expression — position p is
+    covered iff ∃ start s with s ≤ p < s+n, tested against the doc's own
+    (bounded) sorted start list; O(L·|starts|) per row worst case, zero
+    Python.
+
+    Returns (id, out, n_tok, n_removed).
+    """
+    if n > 4:
+        raise ValueError(f"n={n}: VOCAB^{n} overflows int64; use n <= 4")
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    packed = F.when(ln >= n, F.transform(
+        idx,
+        lambda i: sum(
+            [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
+            F.lit(0).cast("long"),
+        ),
+    )).otherwise(F.array().cast("array<bigint>"))
+    base = df.select(F.col(id_col), t.alias("__toks"), packed.alias("__grams"))
+    inv = base.select(id_col, F.posexplode("__grams").alias("pos", "gm"))
+    dup_grams = (
+        inv.groupBy("gm")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gm")
+    )
+    starts = (
+        inv.join(dup_grams, on="gm")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+    )
+    joined = base.join(starts, on=id_col, how="left").withColumn(
+        "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    )
+    # position p (0-based) covered iff some start s in [p-n+1, p]
+    covered = lambda p: F.exists(  # noqa: E731
+        F.col("__starts"), lambda s: (s <= p) & (p < s + n)
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - 1),
+            lambda p: F.when(~covered(p), F.element_at(F.col("__toks"), p + 1)),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return joined.select(
+        F.col(id_col),
+        kept.alias(out),
+        F.size("__toks").cast("long").alias("n_tok"),
+        (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
+    )

@@ -760,6 +760,108 @@ def ivfpq_topk(
     )
 
 
+def semdedup_quantized(
+    df: DataFrame,
+    centroids_q: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold_num: int = 9,
+    threshold_den: int = 10,
+) -> DataFrame:
+    """Semantic deduplication, SemDeDup-style (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", §3): cluster the embedding space with a coarse
+    quantizer, then prune near-duplicates only WITHIN each cluster — the
+    clustering bounds the pairwise work to Σ|cluster|² instead of |corpus|²,
+    which is the whole trick that makes cosine dedup feasible at web scale.
+
+    Keep policy: deterministic keep-lowest-id — a row is dropped iff some
+    same-cell row with a SMALLER id is a near-dup of it (the paper keeps
+    the lowest-centroid-similarity point per duplicate group; any
+    within-group representative choice is admissible, and lowest-id is
+    order-free, engine-exact, and idempotent on reruns).
+
+    Integer-exact near-dup test over the round(x*1000) quantized vectors
+    (the ``embedding_near_dups_quantized`` recipe):
+
+        cos(a,b) ≥ num/den  ⇔  qdot ≥ 0  AND  qdot²·den² ≥ num²·‖a‖²q·‖b‖²q
+
+    Overflow bound (documented, not hoped): |x|≤1 quantizes to ≤1000, so at
+    dim 64 qdot ≤ 6.4e7 < 2^26 and qdot² < 2^52; den ≤ 45 keeps den²·qdot²
+    < 2^63. Cell assignment is the ``ivf_topk_quantized`` integer argmax
+    (qdot/‖c‖ with the same compile-time double norm literals), so a SQL
+    oracle replays cells, pairs, and verdicts from a VALUES table of the
+    identical centroids.
+
+    Physical shape: one exchange of (id, qe, qn, cell) keyed on cell for the
+    self-join (hot cells bound the skew — cell count is the knob), the
+    bounded within-cell pair filter, then a (cell-local → id) aggregation of
+    earlier-neighbor counts joined back to mark survivors. Payload vectors
+    cross the wire once; no all-pairs path exists.
+
+    Returns (id, cell, n_dups, kept): n_dups = count of same-cell smaller-id
+    near-dups; kept = (n_dups == 0).
+    """
+
+    def assign(alias_id: str, qe_name: str):
+        out = df.select(
+            F.col(id_col).alias(alias_id), _quantize(F.col(vec_col)).alias(qe_name)
+        )
+        cells = [
+            F.struct(s.alias("s"), F.lit(-c).alias("nc"))
+            for c, s in enumerate(_cell_scores(F.col(qe_name), centroids_q))
+        ]
+        out = out.withColumn(
+            "cell", (-F.reverse(F.array_sort(F.array(*cells)))[0].nc).cast("int")
+        )
+        qn = F.aggregate(
+            F.zip_with(F.col(qe_name), F.col(qe_name), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        return out.withColumn(f"{qe_name}n", qn)
+
+    base = assign("__id", "__qe")
+    a = base.select(
+        F.col("__id").alias("__ida"), F.col("__qe").alias("__qa"),
+        F.col("__qen").alias("__na"), "cell",
+    )
+    b = base.select(
+        F.col("__id").alias("__idb"), F.col("__qe").alias("__qb"),
+        F.col("__qen").alias("__nb"), "cell",
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("__qa"), F.col("__qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    pairs = (
+        a.join(b, on="cell")
+        .filter(F.col("__idb") < F.col("__ida"))
+        .withColumn("__qd", qdot)
+        .filter(
+            (F.col("__qd") >= 0)
+            & (F.col("__qd") * F.col("__qd") * F.lit(den2)
+               >= F.col("__na") * F.col("__nb") * F.lit(num2))
+        )
+    )
+    dup_counts = pairs.groupBy("__ida").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dups")
+    )
+    return (
+        base.select(F.col("__id"), "cell")
+        .join(dup_counts, base["__id"] == dup_counts["__ida"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cell",
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            (F.coalesce(F.col("n_dups"), F.lit(0)) == 0).alias("kept"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -876,6 +876,156 @@ class TestNewOpsBruteForce:
             assert got[doc_id] == ("\n".join(kept), len(lines), len(kept)), doc_id
 
 
+class TestRemoveDupSpans:
+    def test_cut_semantics(self, spark):
+        """Doc 0/1 share gram [1,2,3,4]; covered positions are cut, the
+        rest reassemble in order; short docs pass through untouched."""
+        df = spark.createDataFrame(
+            [
+                (0, [9, 1, 2, 3, 4, 9, 8]),   # window at pos 1 → cut 1..4
+                (1, [1, 2, 3, 4]),            # whole doc duplicated
+                (2, [7, 8, 9, 10, 11]),       # unique grams
+                (3, [1, 2, 3]),               # too short for n=4
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        got = {
+            r.doc_id: (list(r.tokens_clean), r.n_tok, r.n_removed)
+            for r in dd.remove_dup_spans(df, "doc_id", "tokens", n=4).collect()
+        }
+        assert got == {
+            0: ([9, 9, 8], 7, 4),
+            1: ([], 4, 4),
+            2: ([7, 8, 9, 10, 11], 5, 0),
+            3: ([1, 2, 3], 3, 0),
+        }
+
+    def test_matches_brute_force(self, spark):
+        import random
+
+        rng = random.Random(4321)
+        rows = [
+            (i, [rng.randrange(0, 25) for _ in range(rng.randrange(0, 30))])
+            for i in range(25)
+        ]
+        n = 3
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        got = {
+            r.doc_id: (list(r.tokens_clean), r.n_removed)
+            for r in dd.remove_dup_spans(df, "doc_id", "tokens", n=n).collect()
+        }
+        gram_docs: dict[tuple, set] = {}
+        for doc_id, toks in rows:
+            for i in range(max(0, len(toks) - n + 1)):
+                gram_docs.setdefault(tuple(toks[i : i + n]), set()).add(doc_id)
+        for doc_id, toks in rows:
+            covered = set()
+            for i in range(max(0, len(toks) - n + 1)):
+                if len(gram_docs[tuple(toks[i : i + n])]) >= 2:
+                    covered.update(range(i, i + n))
+            kept = [t for p, t in enumerate(toks) if p not in covered]
+            assert got[doc_id] == (kept, len(toks) - len(kept)), doc_id
+
+
+class TestSemDedup:
+    def _vecs(self, n=60, dim=8, seed=5):
+        rng = np.random.default_rng(seed)
+        base = rng.normal(size=(6, dim))
+        out = []
+        for i in range(n):
+            v = base[i % 6] + rng.normal(scale=0.05 if i % 3 else 2.0, size=dim)
+            out.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.similarity import (
+            quantized_hyperplanes,
+            semdedup_quantized,
+        )
+
+        dim, cells = 8, 4
+        rows = self._vecs(dim=dim)
+        cents = quantized_hyperplanes(dim, cells, seed=3)
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r.vec_id: (r.cell, r.n_dups, r.kept)
+            for r in semdedup_quantized(
+                df, cents, threshold_num=4, threshold_den=5
+            ).collect()
+        }
+        # brute-force replay with the same integer math
+        import math
+
+        # F.round is HALF_UP (away from zero), not Python's banker's rounding
+        half_up = lambda d: int(math.floor(abs(d) * 1000 + 0.5)) * (1 if d >= 0 else -1)  # noqa: E731
+        q = {i: [half_up(np.float32(x).item()) for x in v] for i, v in rows}
+        norms = [math.sqrt(sum(c * c for c in row)) for row in cents]
+        def cell_of(qe):
+            scores = [
+                (sum(a * b for a, b in zip(qe, row)) / norms[c], -c)
+                for c, row in enumerate(cents)
+            ]
+            return -max(scores)[1]
+        assign = {i: cell_of(qe) for i, qe in q.items()}
+        for i, qe in q.items():
+            nd = 0
+            for j, qj in q.items():
+                if j >= i or assign[j] != assign[i]:
+                    continue
+                qd = sum(a * b for a, b in zip(qe, qj))
+                na = sum(a * a for a in qe)
+                nb = sum(a * a for a in qj)
+                if qd >= 0 and qd * qd * 25 >= na * nb * 16:
+                    nd += 1
+            assert got[i] == (assign[i], nd, nd == 0), i
+        # the clustered corpus must actually produce drops
+        assert any(not k for _, _, k in got.values())
+
+
+class TestBM25:
+    def test_matches_brute_force(self, spark):
+        import math
+        import random
+
+        from opentelemetry_collector_contrib_spark.operators.search import (
+            BD, BN, K1D, K1N, SCORE_SCALE, bm25_topk,
+        )
+
+        rng = random.Random(77)
+        rows = [
+            (i, [rng.randrange(0, 12) for _ in range(rng.randrange(3, 25))])
+            for i in range(40)
+        ]
+        terms = [1, 4, 7]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        got = [(r.doc_id, r.score_q, r.n_terms, r.rank)
+               for r in bm25_topk(df, terms, k=5).orderBy("rank").collect()]
+
+        n_docs = len(rows)
+        total = sum(len(t) for _, t in rows)
+        dfreq = {
+            t: sum(1 for _, toks in rows if t in toks) for t in terms
+        }
+        scores = {}
+        for doc_id, toks in rows:
+            s, m = 0, 0
+            for t in terms:
+                tf = toks.count(t)
+                if not tf:
+                    continue
+                m += 1
+                idf = (2 * (n_docs - dfreq[t]) + 1) / (2 * dfreq[t] + 1)
+                num = tf * (K1N + K1D) * BD * total
+                den = tf * K1D * BD * total + K1N * (BD - BN) * total + K1N * BN * len(toks) * n_docs
+                s += math.floor(idf * (num / den) * float(SCORE_SCALE))
+            if m:
+                scores[doc_id] = (s, m)
+        exp = sorted(scores.items(), key=lambda kv: (-kv[1][0], kv[0]))[:5]
+        assert got == [
+            (doc, s, m, r + 1) for r, (doc, (s, m)) in enumerate(exp)
+        ]
+
+
 class TestCuratePipeline:
     def test_chain_semantics(self, spark):
         """Dedup keeps min-id per token array; quality gate drops short and
