@@ -837,8 +837,12 @@ def semdedup_quantized(
     )
     num2 = threshold_num * threshold_num
     den2 = threshold_den * threshold_den
+    # Neither side of the within-cell self-join is broadcastable (both are
+    # the corpus), so hint shuffle_hash: one exchange per side on cell and a
+    # hash build of the smaller partition — no sort of either side, which a
+    # sort-merge join would add for zero benefit (cells are unordered).
     pairs = (
-        a.join(b, on="cell")
+        a.join(b.hint("shuffle_hash"), on="cell")
         .filter(F.col("__idb") < F.col("__ida"))
         .withColumn("__qd", qdot)
         .filter(
@@ -852,7 +856,11 @@ def semdedup_quantized(
     )
     return (
         base.select(F.col("__id"), "cell")
-        .join(dup_counts, base["__id"] == dup_counts["__ida"], "left")
+        # dup_counts is ≤ one row per duplicated doc — usually small but
+        # corpus-bounded, so not safely broadcastable; shuffle_hash keeps
+        # the survivor mark-back sort-free too.
+        .join(dup_counts.hint("shuffle_hash"),
+              base["__id"] == dup_counts["__ida"], "left")
         .select(
             F.col("__id").alias(id_col),
             "cell",

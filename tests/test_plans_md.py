@@ -54,7 +54,11 @@ def test_plans_covers_registry():
 # predicate is an inequality, so a BroadcastNestedLoopJoin over the tiny
 # broadcast query side IS the intended plan (the ANN paths it verifies —
 # ivf_topk, lsh_topk_multi, embedding_neardup — must stay equi-join)
-NLJ_ALLOWED = {"embedding_topk"}
+# embedding_topk: the documented exact brute-force baseline (BNLJ by design).
+# bm25_topk: crossJoin(broadcast(stats)) of a ONE-ROW corpus-stats aggregate —
+# the scalar-subquery idiom; a single-row broadcast build side is constant
+# work per task regardless of corpus size.
+NLJ_ALLOWED = {"embedding_topk", "bm25_topk"}
 
 
 def test_no_sortmerge_or_nested_loop_joins():
