@@ -17,7 +17,12 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.hashing import SAMPLER_BUCKETS, sampler_bucket_sql, word_token_sql
+from .functions.hashing import (
+    SAMPLER_BUCKETS,
+    VOCAB,
+    sampler_bucket_sql,
+    word_token_sql,
+)
 from .functions.severity import attach_severity
 from .operators.parse import regex_parser, regex_parser_native, time_parser
 from .operators.router import Route, route_match_once, route_multicast
@@ -3012,6 +3017,69 @@ FROM per_doc ORDER BY score_q DESC, doc_id LIMIT {_BM25_K}
 _SQL_BM25 = _bm25_sql()
 
 
+_LM_TRAIN_SOURCE = "src0"   # CCNet's "target domain" split (Wikipedia analog)
+_LM_HEAD_MIN = 60           # fixed-point mean-weight bucket cuts (scale 2^20)
+_LM_TAIL_MAX = 35
+
+
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM fluency gate (Wenzek et al. 2020 §4.3): train an
+    add-one-smoothed bigram model on the in-domain source, score every
+    doc with fixed-point integer transition weights, bucket head/middle/
+    tail. Training = one vocab-bounded exchange; scoring = two broadcast
+    joins + a doc-count exchange; zero Python."""
+    from .operators.lm import SCALE, bigram_counts, context_counts, lm_score
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    train = toks.filter(F.col("source") == _LM_TRAIN_SOURCE)
+    bg = bigram_counts(train, "tokens", vocab=VOCAB)
+    cx = context_counts(bg, vocab=VOCAB)
+    return lm_score(
+        toks, bg, cx, tokens_col="tokens", id_col="doc_id", vocab=VOCAB,
+        scale=SCALE, head_min=_LM_HEAD_MIN, tail_max=_LM_TAIL_MAX,
+    )
+
+
+def _lm_sql() -> str:
+    from .operators.lm import SCALE
+
+    v = VOCAB
+    return _SQL_BASE + f"""
+, lm_train AS (
+  SELECT tokens FROM base WHERE source = '{_LM_TRAIN_SOURCE}' AND len(tokens) >= 2
+), lm_bg AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS c_ab FROM (
+    SELECT UNNEST(list_transform(range(1, len(tokens)),
+                                 i -> CAST(tokens[i] AS BIGINT) * {v} + tokens[i+1])) AS g
+    FROM lm_train) GROUP BY g
+), lm_cx AS (
+  SELECT g // {v} AS a, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM lm_bg GROUP BY 1
+), lm_ex AS (
+  SELECT doc_id, UNNEST(list_transform(range(1, len(tokens)),
+                                       i -> CAST(tokens[i] AS BIGINT) * {v} + tokens[i+1])) AS g
+  FROM base WHERE len(tokens) >= 2
+), lm_scored AS (
+  SELECT e.doc_id,
+         (COALESCE(b.c_ab, 0) + 1) * CAST({SCALE} AS BIGINT)
+           // (COALESCE(c.c_a, 0) + {v}) AS w
+  FROM lm_ex e LEFT JOIN lm_bg b USING (g)
+               LEFT JOIN lm_cx c ON e.g // {v} = c.a
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_big,
+       CAST(SUM(w) AS BIGINT) AS score_sum,
+       CAST(SUM(w) // COUNT(*) AS BIGINT) AS score_mean,
+       CASE WHEN SUM(w) // COUNT(*) >= {_LM_HEAD_MIN} THEN 'head'
+            WHEN SUM(w) // COUNT(*) <= {_LM_TAIL_MAX} THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM lm_scored GROUP BY doc_id
+"""
+
+
+_SQL_LM_SCORE = _lm_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3089,4 +3157,5 @@ REGISTRY: list[Query] = [
     Query("dup_span_removal", _q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
     Query("semdedup", _q_semdedup, _SQL_SEMDEDUP),
     Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
+    Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
 ]
