@@ -3080,6 +3080,75 @@ FROM lm_scored GROUP BY doc_id
 _SQL_LM_SCORE = _lm_sql()
 
 
+_BPE_K = 6
+
+
+def _q_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 §3.2):
+    K most-frequent-adjacent-pair merges learned over the whole corpus —
+    per step one vocab-bounded pair-count exchange + a pure-JVM greedy
+    rewrite fold. Deterministic tie-break (cnt desc, a, b), so the oracle
+    replays the identical merge chain with K unrolled SQL iterations."""
+    from .operators.bpe import bpe_learn
+
+    toks = _tokens_of_docs(spark, sf_dir).select("doc_id", "tokens")
+    merges, _ = bpe_learn(toks, "tokens", num_merges=_BPE_K, new_id_start=VOCAB)
+    return spark.createDataFrame(
+        [(m["step"], m["a"], m["b"], m["new_id"], m["cnt"]) for m in merges],
+        "step int, a int, b int, new_id int, cnt bigint",
+    )
+
+
+def _bpe_sql() -> str:
+    k = _BPE_K
+    parts = [", s0 AS MATERIALIZED (SELECT doc_id, tokens AS toks FROM base)"]
+    for i in range(k):
+        nid = VOCAB + i
+        parts.append(f"""
+, p{i} AS MATERIALIZED (
+  SELECT p.a AS a, p.b AS b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT UNNEST(list_transform(range(1, len(toks)),
+             j -> struct_pack(a := toks[j], b := toks[j+1]))) AS p
+    FROM s{i} WHERE len(toks) >= 2)
+  GROUP BY p.a, p.b
+), m{i} AS MATERIALIZED (
+  SELECT CAST({i} AS INT) AS step, CAST(a AS INT) AS a, CAST(b AS INT) AS b,
+         CAST({nid} AS INT) AS new_id, cnt
+  FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+), v{i} AS MATERIALIZED (
+  SELECT doc_id, pos, tok,
+         COALESCE(tok = (SELECT a FROM m{i})
+           AND LEAD(tok) OVER w{i} = (SELECT b FROM m{i})
+           AND ((SELECT a FROM m{i}) <> (SELECT b FROM m{i})
+                OR (pos - COALESCE(MAX(CASE WHEN tok <> (SELECT a FROM m{i}) THEN pos END)
+                      OVER w{i}, 0) - 1) % 2 = 0), FALSE) AS valid
+  FROM (
+    SELECT doc_id, u.pos AS pos, u.tok AS tok FROM (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(toks) + 1),
+               j -> struct_pack(pos := j, tok := toks[j]))) AS u
+      FROM s{i}))
+  WINDOW w{i} AS (PARTITION BY doc_id ORDER BY pos)
+), s{i + 1} AS MATERIALIZED (
+  SELECT doc_id,
+         list(CASE WHEN valid THEN (SELECT new_id FROM m{i}) ELSE tok END
+              ORDER BY pos) AS toks
+  FROM (SELECT doc_id, pos, tok, valid,
+               COALESCE(LAG(valid) OVER (PARTITION BY doc_id ORDER BY pos),
+                        FALSE) AS pv
+        FROM v{i})
+  WHERE NOT pv GROUP BY doc_id
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(k))
+    return (
+        _SQL_BASE
+        + "".join(parts)
+        + f"\nSELECT step, a, b, new_id, cnt FROM ({union}) ORDER BY step"
+    )
+
+
+_SQL_BPE = _bpe_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3158,4 +3227,5 @@ REGISTRY: list[Query] = [
     Query("semdedup", _q_semdedup, _SQL_SEMDEDUP),
     Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
     Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
+    Query("bpe_learn", _q_bpe_learn, _SQL_BPE),
 ]
