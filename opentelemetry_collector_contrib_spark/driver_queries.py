@@ -3149,6 +3149,72 @@ def _bpe_sql() -> str:
 _SQL_BPE = _bpe_sql()
 
 
+def _q_hll_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-token estimate per source:
+    rotate-multiply mixed registers (integer CASE bit-length, no floats),
+    fixed-point harmonic sum, one integer DIV estimator plus an integer-
+    table linear-counting correction. Register state is O(sources × 64)
+    regardless of vocab, vs the exact distinct's vocab-sized shuffle —
+    the cardinality-audit sketch beside cms_counts."""
+    from .operators.sketches import hll_estimate, hll_registers
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        "source", F.explode("tokens").alias("token")
+    )
+    regs = hll_registers(toks, "token", group_cols=("source",))
+    return hll_estimate(regs, group_cols=("source",))
+
+
+def _hll_sql() -> str:
+    from .operators.sketches import (
+        _HLL_ALPHA_DEN,
+        _HLL_ALPHA_NUM,
+        _HLL_LC_THRESHOLD,
+        _HLL_VBITS,
+        HLL_BUCKETS,
+        bitlen_case_sql,
+        hll_mix_steps,
+        lc_case_sql,
+    )
+
+    m = HLL_BUCKETS
+    top = 1 << (_HLL_VBITS + 1)
+    num = _HLL_ALPHA_NUM * m * m * top
+    lc_thresh = _HLL_LC_THRESHOLD
+    lc_case = lc_case_sql("n_zero")
+    # Mixer as chained CTEs (one per step) — same stepwise shape as the
+    # Spark side's chained selects; textual nesting would grow 4^7×.
+    steps = hll_mix_steps(seed=1, div="//")
+    mix_ctes = ", hm0 AS (SELECT source, UNNEST(tokens) AS x FROM base)\n"
+    prev = "hm0"
+    for i, step in enumerate(steps, start=1):
+        mix_ctes += f", hm{i} AS (SELECT source, {step} AS x FROM {prev})\n"
+        prev = f"hm{i}"
+    rho = f"({_HLL_VBITS + 1} - {bitlen_case_sql(f'(x % {1 << _HLL_VBITS})')})"
+    return _SQL_BASE + mix_ctes + f"""
+, hll_reg AS (
+  SELECT source, CAST(x // {1 << _HLL_VBITS} AS INT) AS bucket,
+         CAST(MAX({rho}) AS INT) AS reg
+  FROM {prev} GROUP BY source, bucket
+), hll_s AS (
+  SELECT source, CAST({m} - COUNT(*) AS INT) AS n_zero,
+         CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_VBITS + 1} - reg))
+              + ({m} - COUNT(*)) * CAST({top} AS BIGINT) AS BIGINT) AS sum_fp
+  FROM hll_reg GROUP BY source)
+, hll_raw AS (
+  SELECT source, n_zero, sum_fp,
+         CAST(CAST({num} AS BIGINT) // ({_HLL_ALPHA_DEN} * sum_fp) AS BIGINT) AS est_raw
+  FROM hll_s)
+SELECT source, n_zero, sum_fp, est_raw,
+       CAST(CASE WHEN est_raw <= {lc_thresh} AND n_zero > 0
+                 THEN {lc_case} ELSE est_raw END AS BIGINT) AS est
+FROM hll_raw
+"""
+
+
+_SQL_HLL = _hll_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3228,4 +3294,5 @@ REGISTRY: list[Query] = [
     Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
     Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
     Query("bpe_learn", _q_bpe_learn, _SQL_BPE),
+    Query("hll_counts", _q_hll_counts, _SQL_HLL),
 ]

@@ -85,3 +85,61 @@ def test_cms_overestimates_and_replays(spark):
         assert est[t] >= true[t]
     # the heavy hitter dominates its buckets
     assert est[11] >= 200
+
+
+def test_hll_registers_match_python_replica(spark):
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        HLL_BUCKETS,
+        hll_estimate,
+        hll_mix_py,
+        hll_registers,
+    )
+
+    vals = [(i * 37) % 500 for i in range(3000)] + [9999] * 50
+    df = spark.createDataFrame(
+        [(("g%d" % (v % 3)), v) for v in vals], "source string, token int"
+    ).repartition(8)
+    regs = hll_registers(df, "token", group_cols=("source",))
+    got = {(r.source, r.bucket): r.reg for r in regs.collect()}
+
+    want = {}
+    for v in vals:
+        g = "g%d" % (v % 3)
+        h = hll_mix_py(v, 1)
+        b, val = h // (1 << 26), h % (1 << 26)
+        rho = 27 - val.bit_length()
+        k = (g, b)
+        want[k] = max(want.get(k, 0), rho)
+    assert got == want
+
+    # fixed-point estimator replica + sane accuracy for m=64 (~13% typical)
+    import math
+
+    est_rows = {r.source: r for r in hll_estimate(regs).collect()}
+    for g in ("g0", "g1", "g2"):
+        s = sum(1 << (27 - want.get((g, b), 0)) for b in range(HLL_BUCKETS))
+        n_zero = sum(1 for b in range(HLL_BUCKETS) if (g, b) not in want)
+        est_raw = (709 * 64 * 64 * (1 << 27)) // (1000 * s)
+        est = est_raw
+        if est_raw <= 160 and n_zero > 0:
+            est = round(64 * math.log(64 / n_zero))
+        assert est_rows[g].sum_fp == s
+        assert est_rows[g].n_zero == n_zero
+        assert est_rows[g].est_raw == est_raw
+        assert est_rows[g].est == est
+        true = len({v for v in vals if v % 3 == (int(g[1]))})
+        assert abs(est - true) / true < 0.40
+
+
+def test_hll_partition_invariance(spark):
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame([("s", i) for i in range(2000)], "source string, token long")
+    a = hll_estimate(hll_registers(df.coalesce(1), "token")).collect()[0]
+    b = hll_estimate(hll_registers(df.repartition(16), "token")).collect()[0]
+    assert (a.sum_fp, a.est, a.est_raw, a.n_zero) == (
+        b.sum_fp, b.est, b.est_raw, b.n_zero
+    )

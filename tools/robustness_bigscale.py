@@ -168,10 +168,56 @@ def run_curate(spark) -> dict:
     return {"docs": row["docs"], "shards": row["shards"], "tokens_out": row["tokens_out"]}
 
 
+def run_lm(spark) -> dict:
+    """Round-4 op: bigram-LM train (full corpus) + score (full corpus) —
+    both passes explode 100M × full-length token arrays; the shuffles stay
+    vocab-bounded (train) / doc-count (score)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.lm import (
+        bigram_counts,
+        context_counts,
+        lm_score,
+    )
+
+    t = _tokens(spark, None)
+    train = t.filter(F.col("source") == "src-hot")
+    bg = bigram_counts(train, "tokens")
+    cx = context_counts(bg)
+    out = lm_score(t, bg, cx, tokens_col="tokens", id_col="doc_id")
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_big").alias("bigrams"),
+        F.sum("score_mean").alias("mean_total"),
+    ).collect()[0]
+    return {"docs": row["docs"], "bigrams": row["bigrams"],
+            "mean_total": row["mean_total"]}
+
+
+def run_bpe(spark) -> dict:
+    """Round-4 op: 3 BPE merge steps at 100M rows — each step one full
+    pair-count pass (vocab-bounded exchange) + the JVM rewrite fold.
+    checkpoint=False: materializing 100M rewritten rows ×3 would need
+    ~160 GB of local storage (fine on a cluster, beyond this sandbox's
+    scratch); a 3-deep fold lineage recomputes cheaply instead."""
+    from opentelemetry_collector_contrib_spark.operators.bpe import bpe_learn
+
+    t = _tokens(spark, BPE_CAP).select("doc_id", "tokens")
+    merges, _ = bpe_learn(t, "tokens", num_merges=3, new_id_start=50257,
+                          checkpoint=False)
+    return {"merges": [
+        {k: m[k] for k in ("step", "a", "b", "cnt")} for m in merges
+    ]}
+
+
+BPE_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_BPE_CAP", "32"))
+
 OPS = {
     "line_dedup": (run_line_dedup, CAP_TOKENS),
     "dup_spans": (run_dup_spans, DUP_CAP),
     "curate_corpus": (run_curate, None),
+    "lm_score": (run_lm, None),
+    "bpe_learn": (run_bpe, BPE_CAP),
 }
 
 
