@@ -3149,6 +3149,45 @@ def _bpe_sql() -> str:
 _SQL_BPE = _bpe_sql()
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table to re-encode the corpus — the
+    companion to bpe_learn (a tokenizer is trained once, then APPLIED to
+    every shard). K greedy-leftmost rewrite folds, all JVM, map-only per
+    step; per-doc output carries the full re-encoded token string so the
+    oracle pins every merged position, plus the compression ratio
+    (n_before/n_after) training jobs budget by."""
+    from .operators.bpe import bpe_learn
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    ).withColumn("n_before", F.size("tokens").cast("int"))
+    _, enc = bpe_learn(toks, "tokens", num_merges=_BPE_K, new_id_start=VOCAB)
+    return enc.select(
+        "doc_id",
+        "n_before",
+        F.size("tokens").cast("int").alias("n_after"),
+        F.concat_ws(" ", F.transform("tokens", lambda x: x.cast("string"))).alias(
+            "tok_str"
+        ),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    k = _BPE_K
+    # same unrolled merge-replay chain as _bpe_sql, different final SELECT
+    body = _bpe_sql()
+    chain_end = body.rindex("\nSELECT step,")
+    return body[:chain_end] + f"""
+SELECT s0.doc_id AS doc_id, CAST(len(s0.toks) AS INT) AS n_before,
+       CAST(len(s{k}.toks) AS INT) AS n_after,
+       array_to_string(s{k}.toks, ' ') AS tok_str
+FROM s0 JOIN s{k} USING (doc_id)
+"""
+
+
+_SQL_BPE_ENC = _bpe_encode_sql()
+
+
 def _q_hll_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic HyperLogLog distinct-token estimate per source:
     rotate-multiply mixed registers (integer CASE bit-length, no floats),
@@ -3213,6 +3252,153 @@ FROM hll_raw
 
 
 _SQL_HLL = _hll_sql()
+
+
+_DSIR_K = 200
+
+
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-bigram bag models
+    for the target domain (the in-domain source) and the raw pool,
+    fixed-point likelihood-ratio importance scores, deterministic top-k.
+    One bucket-bounded corpus exchange + a broadcast model join + a
+    doc-bounded re-aggregate + TakeOrderedAndProject — zero Python."""
+    from .operators.selection import (
+        dsir_feature_counts,
+        dsir_scores,
+        dsir_select,
+    )
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    feats = dsir_feature_counts(
+        toks, "tokens", is_target=F.col("source") == _LM_TRAIN_SOURCE, vocab=VOCAB
+    )
+    scores = dsir_scores(toks, feats, "tokens", "doc_id", vocab=VOCAB)
+    return dsir_select(scores, _DSIR_K, "doc_id")
+
+
+def _dsir_sql() -> str:
+    from .functions.hashing import mix32_sql
+    from .operators.selection import DSIR_BUCKETS, DSIR_SCALE
+
+    v = VOCAB
+    div = (1 << 32) // DSIR_BUCKETS
+    mix = mix32_sql("g", seed=7)
+    return _SQL_BASE + f"""
+, ds_ex AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(tokens)),
+                i -> CAST(tokens[i] AS BIGINT) * {v} + tokens[i+1])) AS g,
+         source = '{_LM_TRAIN_SOURCE}' AS t
+  FROM base WHERE len(tokens) >= 2
+), ds_b AS (
+  SELECT doc_id, CAST({mix} // {div} AS INT) AS bucket, t FROM ds_ex
+), ds_f AS (
+  SELECT bucket, CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         CAST(COUNT(*) AS BIGINT) AS c_r
+  FROM ds_b GROUP BY bucket
+), ds_tot AS (
+  SELECT CAST(SUM(c_t) AS BIGINT) AS tt, CAST(SUM(c_r) AS BIGINT) AS rr FROM ds_f
+), ds_s AS (
+  SELECT b.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_feat,
+         CAST(SUM((({DSIR_SCALE} * (COALESCE(f.c_t, 0) + 1))
+                   // (COALESCE(f.c_r, 0) + 1)) * ds_tot.rr // ds_tot.tt)
+              AS BIGINT) AS score
+  FROM ds_b b LEFT JOIN ds_f f USING (bucket) CROSS JOIN ds_tot
+  GROUP BY b.doc_id)
+SELECT doc_id, n_feat, score FROM ds_s
+ORDER BY score DESC, doc_id LIMIT {_DSIR_K}
+"""
+
+
+_SQL_DSIR = _dsir_sql()
+
+_TOKEN_BUDGET = 2000
+
+
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget ('epoching' caps, Pile/LLaMA mixture
+    tables): keep each source's docs in deterministic mix32 order until
+    the budget fills. One hash exchange on source + the per-source
+    window scan; kept is a pure function of the rows, so the SQL window
+    replays it exactly."""
+    from .operators.selection import token_budget_cap
+
+    docs = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        F.size("tokens").cast("int").alias("n_tok"),
+        "source",
+    )
+    out = token_budget_cap(docs, _TOKEN_BUDGET, "doc_id", "n_tok", "source")
+    return out.select("doc_id", "source", "n_tok", "cum_before", "kept")
+
+
+def _token_budget_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    mix = mix32_sql("doc_id", seed=11)
+    return _SQL_BASE + f"""
+SELECT doc_id, source, n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY {mix}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS cum_before,
+       COALESCE(SUM(n_tok) OVER (
+           PARTITION BY source ORDER BY {mix}, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         < {_TOKEN_BUDGET} AS kept
+FROM base
+"""
+
+
+_SQL_TOKEN_BUDGET = _token_budget_sql()
+
+
+def _q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified train/val/test split (90/5/5 from the
+    HIGH bits of mix32 — membership is a pure row function, so shards
+    are resumable and cluster-size-independent). Output is the per-cell
+    audit: doc/token counts plus a doc_id checksum pinning membership."""
+    from .operators.selection import stratified_split
+
+    docs = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        F.size("tokens").cast("int").alias("n_tok"),
+        "source",
+    )
+    out = stratified_split(docs, "doc_id")
+    return (
+        out.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def _stratified_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    mix = mix32_sql("doc_id", seed=13)
+    return _SQL_BASE + f"""
+, sp AS (
+  SELECT doc_id, n_tok, source,
+         CASE WHEN ({mix} // 65536) % 100 < 90 THEN 'train'
+              WHEN ({mix} // 65536) % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM base)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM sp GROUP BY source, split ORDER BY source, split
+"""
+
+
+_SQL_STRATIFIED = _stratified_sql()
 
 
 REGISTRY: list[Query] = [
@@ -3295,4 +3481,8 @@ REGISTRY: list[Query] = [
     Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
     Query("bpe_learn", _q_bpe_learn, _SQL_BPE),
     Query("hll_counts", _q_hll_counts, _SQL_HLL),
+    Query("bpe_encode", _q_bpe_encode, _SQL_BPE_ENC),
+    Query("dsir_select", _q_dsir_select, _SQL_DSIR),
+    Query("token_budget", _q_token_budget, _SQL_TOKEN_BUDGET),
+    Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
 ]
