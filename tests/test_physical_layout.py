@@ -286,3 +286,56 @@ def test_tail_sampling_decision_plan(spark):
     n = plan.count("Exchange hashpartitioning")
     assert n == 1, f"trace_decisions plans {n} exchanges:\n{plan[:2000]}"
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_selection_ops_plan_shapes(spark):
+    """Round-4 invariants: DSIR scoring joins the model by broadcast only
+    (no BroadcastNestedLoopJoin, which a naive 1-row totals cross-join
+    introduces) and aggregates twice (bucket model + doc scores); the
+    budget/split scans move data at most once."""
+    from opentelemetry_collector_contrib_spark.operators.selection import (
+        dsir_feature_counts,
+        dsir_scores,
+        stratified_split,
+        token_budget_cap,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, [i % 9, (i * 5) % 9, (i * 7) % 9], "s%d" % (i % 3)) for i in range(300)],
+        "doc_id long, tokens array<int>, source string",
+    ).repartition(4)
+
+    feats = dsir_feature_counts(docs, "tokens", F.col("source") == "s0", vocab=16)
+    scores = dsir_scores(docs, feats, "tokens", "doc_id", vocab=16)
+    plan = _executed_plan(scores)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") == 1, plan[:2000]
+    assert plan.count("Exchange hashpartitioning") <= 2, plan[:2000]
+
+    capped = token_budget_cap(docs.withColumn("n_tok", F.size("tokens")), 40)
+    plan2 = _executed_plan(capped)
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2[:2000]
+
+    split = stratified_split(docs, "doc_id")
+    plan3 = _executed_plan(split)
+    assert "Exchange hashpartitioning" not in plan3, plan3[:2000]
+
+
+def test_hll_plan_two_bounded_exchanges(spark):
+    """HLL = register groupBy + estimate groupBy, nothing else: two
+    exchanges whose widths are register-bounded (groups x 64), zero
+    Python nodes, no joins."""
+    from opentelemetry_collector_contrib_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.createDataFrame(
+        [("s%d" % (i % 3), i % 500) for i in range(3000)],
+        "source string, token int",
+    ).repartition(8)
+    est = hll_estimate(hll_registers(df, "token"))
+    plan = _executed_plan(est)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
