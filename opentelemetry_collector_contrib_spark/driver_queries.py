@@ -3254,6 +3254,47 @@ FROM hll_raw
 _SQL_HLL = _hll_sql()
 
 
+def _q_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL VIDEO round-trip (`operators/video.py`: AVI/RIFF
+    container, pure python+numpy — no ffmpeg): each doc encodes a genuine
+    multi-frame AVI (3 + doc%4 grayscale DIB frames built from its
+    tokens), decodes it with the RIFF parser, frame-samples every 250 ms
+    from the DECODED header timing (10 fps → every other frame), and
+    emits integer stats of the sampled DECODED pixels. DIB is lossless,
+    so the stats are re-derivable from the tokens alone; sam_wsum pins
+    frame order and the bottom-up/row-pad raster reconstruction. The
+    container byte size is excluded (evidence, not oracle)."""
+    from .operators.video import video_features_from_tokens
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return video_features_from_tokens(toks).select(
+        "media_id", "n_frames", "n_sampled", "width", "height",
+        "sam_sum", "sam_wsum",
+    )
+
+
+_SQL_VIDEO_FEATURES = _SQL_BASE + """
+, vid AS (
+  SELECT doc_id AS media_id, CAST(doc_id % 4 + 3 AS INT) AS n_frames, tokens
+  FROM base
+)
+SELECT media_id, n_frames, CAST((n_frames + 1) // 2 AS INT) AS n_sampled,
+       8 AS width, 8 AS height,
+       CAST(list_sum(flatten(list_transform(range(0, n_frames, 2), f ->
+         list_transform(range(1, 65), j ->
+           ((CASE WHEN j <= len(tokens) THEN tokens[j] ELSE 0 END) + f) % 256))))
+         AS BIGINT) AS sam_sum,
+       CAST(list_sum(flatten(list_transform(range(0, n_frames, 2), f ->
+         list_transform(range(1, 65), j ->
+           (((CASE WHEN j <= len(tokens) THEN tokens[j] ELSE 0 END) + f) % 256)
+           * ((f // 2) * 64 + j)))))
+         AS BIGINT) AS sam_wsum
+FROM vid
+"""
+
+
 _DSIR_K = 200
 
 
@@ -3485,4 +3526,5 @@ REGISTRY: list[Query] = [
     Query("dsir_select", _q_dsir_select, _SQL_DSIR),
     Query("token_budget", _q_token_budget, _SQL_TOKEN_BUDGET),
     Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
+    Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
 ]
