@@ -3295,6 +3295,70 @@ FROM vid
 """
 
 
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH near-dup suppression: stateful band-bucket
+    cache (applyInPandasWithState, first-arrival wins), drained
+    availableNow in ONE micro-batch over one input file — arrival order
+    is then the deterministic in-batch sort, so the per-doc verdicts
+    equal the batch rule 'first = min doc_id per occupied bucket', which
+    the SQL oracle replays exactly from the signature formula."""
+    import tempfile
+
+    from .streaming.stream_neardup import neardup_verdicts, streaming_neardup_bands
+
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="stream_nd_")
+    toks = _tokens_of_docs(spark, sf_dir).select("doc_id", "tokens")
+    toks.coalesce(1).write.mode("overwrite").parquet(f"{work}/in")
+    stream = spark.readStream.schema("doc_id string, tokens array<int>").parquet(
+        f"{work}/in"
+    )
+    q = (
+        streaming_neardup_bands(stream, ttl_ms=None)
+        .writeStream.format("parquet")
+        .option("path", f"{work}/bands")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    v = neardup_verdicts(spark.read.parquet(f"{work}/bands"))
+    return v.select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"),
+        "n_bands",
+        "is_dup",
+        row_idx_col(F.col("dup_of")).alias("dup_of"),
+    )
+
+
+def _stream_neardup_sql() -> str:
+    from .operators.dedup import MERSENNE, PERM_A, PERM_B
+
+    cols = ", ".join(
+        f"list_min(list_transform(tokens, t -> (CAST(t AS BIGINT)*{PERM_A[i]}"
+        f" + {PERM_B[i]}) % {MERSENNE})) AS mh{i}"
+        for i in range(8)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS s0, mh{2 * b + 1} AS s1 FROM nsig"
+        for b in range(4)
+    )
+    return _SQL_BASE + f"""
+, nsig AS (SELECT doc_id, {cols} FROM base WHERE len(tokens) >= 1)
+, nband AS ({band_rows})
+, nfirst AS (
+  SELECT band, s0, s1, MIN(doc_id) AS first FROM nband GROUP BY band, s0, s1)
+SELECT b.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_bands,
+       MAX(f.first < b.doc_id) AS is_dup,
+       MIN(CASE WHEN f.first < b.doc_id THEN f.first END) AS dup_of
+FROM nband b JOIN nfirst f USING (band, s0, s1)
+GROUP BY b.doc_id
+"""
+
+
+_SQL_STREAM_NEARDUP = _stream_neardup_sql()
+
+
 _DSIR_K = 200
 
 
@@ -3527,4 +3591,5 @@ REGISTRY: list[Query] = [
     Query("token_budget", _q_token_budget, _SQL_TOKEN_BUDGET),
     Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
     Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
+    Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
 ]
