@@ -3359,6 +3359,54 @@ GROUP BY b.doc_id
 _SQL_STREAM_NEARDUP = _stream_neardup_sql()
 
 
+_WDS_SHARDS = 8
+
+
+def _q_webdataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset tar shard sink: write the corpus as reproducible tar
+    shards (one exchange on the mix32 shard id, one tar per shard task),
+    then READ THE TARS BACK and aggregate — so the checked values prove
+    the round trip, not just the assignment. The oracle replays shard =
+    mix32(doc_id) % K and the per-shard doc/token sums from the tokens
+    alone; tar byte sizes are evidence (manifest), not oracle."""
+    import tempfile
+
+    from .operators.webdataset import read_webdataset, write_webdataset_shards
+
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="wds_q_")
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    write_webdataset_shards(toks, work, num_shards=_WDS_SHARDS).collect()
+    back = read_webdataset(spark, work)
+    return (
+        back.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_samples"),
+            F.sum(F.size("tokens")).cast("long").alias("n_tokens"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def _webdataset_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    mix = mix32_sql("doc_id", seed=17)
+    return _SQL_BASE + f"""
+SELECT CAST({mix} % {_WDS_SHARDS} AS INT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM base GROUP BY shard_id ORDER BY shard_id
+"""
+
+
+_SQL_WEBDATASET = _webdataset_sql()
+
+
 _DSIR_K = 200
 
 
@@ -3592,4 +3640,5 @@ REGISTRY: list[Query] = [
     Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
     Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
     Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
+    Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
 ]
