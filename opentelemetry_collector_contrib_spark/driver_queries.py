@@ -3359,6 +3359,34 @@ GROUP BY b.doc_id
 _SQL_STREAM_NEARDUP = _stream_neardup_sql()
 
 
+def _q_expo_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OTel exponential histogram (scale 0, base-2) of token counts per
+    severity: bucket k = bit_length(v-1)-1, integer-exact (no libm log2),
+    the OTLP ExponentialHistogram data-model bucketing the reference's
+    deltatocumulative path carries. Bucket-bounded exchange."""
+    from .operators.metrics import expo_histogram
+
+    df = _parsed_docs(spark, sf_dir).select("severity_text", "n_tok")
+    return expo_histogram(df, ["severity_text"], "n_tok")
+
+
+def _expo_hist_sql() -> str:
+    from .operators.sketches import bitlen_case_sql
+
+    bl = bitlen_case_sql("(n_tok - 1)", bits=40)
+    return _SQL_BASE + f"""
+SELECT severity_text,
+       CAST(CASE WHEN n_tok <= 0 THEN -99 ELSE {bl} - 1 END AS INT) AS bucket_idx,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(MIN(n_tok) AS BIGINT) AS bucket_min,
+       CAST(MAX(n_tok) AS BIGINT) AS bucket_max
+FROM parsed GROUP BY severity_text, bucket_idx
+"""
+
+
+_SQL_EXPO_HIST = _expo_hist_sql()
+
+
 _WDS_SHARDS = 8
 
 
@@ -3641,4 +3669,5 @@ REGISTRY: list[Query] = [
     Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
     Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
     Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
+    Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
 ]

@@ -80,3 +80,41 @@ def histogram_buckets(
     aggs.append(F.count(F.lit(1)).alias(f"{out_prefix}inf"))
     aggs.append(F.sum(value_col).alias("value_sum"))
     return df.groupBy(*dims).agg(*aggs)
+
+
+def expo_histogram(
+    df: DataFrame,
+    dims: list[str],
+    value_col: str,
+) -> DataFrame:
+    """OTel exponential histogram at scale 0 (base-2 buckets) over a
+    non-negative integer value column — (dims..., bucket_idx, cnt,
+    bucket_min, bucket_max).
+
+    The OTLP exponential histogram (metrics data model §ExponentialHistogram;
+    the reference ships deltatocumulative/exponentialhistogram support)
+    assigns v to bucket k with 2^k < v <= 2^(k+1). At scale 0 over integers
+    that index is EXACT in integer arithmetic: k = bit_length(v-1) - 1
+    (v=1 -> -1, the spec's (1/2, 1] bucket; v=2 -> 0; v=3,4 -> 1), so no
+    libm log2 — the same bit-portability discipline as the HLL rho. Zeros
+    land in the spec's zero bucket (bucket_idx NULL replaced by -99 so the
+    column stays int). One vocab-of-buckets-bounded exchange (<= 64 distinct
+    indexes per dim cell); map-side partial agg collapses first.
+    """
+    from .sketches import bitlen_case_sql
+
+    v = F.col(value_col).cast("long")
+    idx = (
+        F.when(v <= 0, F.lit(-99))
+        .otherwise(F.expr(bitlen_case_sql(f"({value_col} - 1)", bits=40)) - 1)
+        .cast("int")
+    )
+    return (
+        df.select(*dims, v.alias("__v"), idx.alias("bucket_idx"))
+        .groupBy(*dims, "bucket_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.min("__v").alias("bucket_min"),
+            F.max("__v").alias("bucket_max"),
+        )
+    )

@@ -80,3 +80,29 @@ class TestSyslog:
         df = spark.createDataFrame([Row(line='[{"a":1},{"a":2}]')], "line string")
         r = jsonarray_parser(df, "struct<a:int>", "line").collect()[0]
         assert [x.a for x in r.parsed] == [1, 2]
+
+
+def test_expo_histogram_scale0_buckets(spark):
+    from opentelemetry_collector_contrib_spark.operators.metrics import (
+        expo_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [0, 1, 2, 3, 4, 5, 8, 9, 16, 100]],
+        "k string, v int",
+    )
+    rows = {r.bucket_idx: r for r in expo_histogram(df, ["k"], "v").collect()}
+    # zero bucket
+    assert rows[-99].cnt == 1
+    # (1/2,1] -> -1 ; (1,2] -> 0 ; (2,4] -> 1 ; (4,8] -> 2 ; (8,16] -> 3 ; (64,128] -> 6
+    assert rows[-1].cnt == 1 and rows[-1].bucket_min == 1
+    assert rows[0].cnt == 1 and rows[0].bucket_max == 2
+    assert rows[1].cnt == 2 and (rows[1].bucket_min, rows[1].bucket_max) == (3, 4)
+    assert rows[2].cnt == 2 and (rows[2].bucket_min, rows[2].bucket_max) == (5, 8)
+    assert rows[3].cnt == 2 and (rows[3].bucket_min, rows[3].bucket_max) == (9, 16)
+    assert rows[6].cnt == 1 and rows[6].bucket_min == 100
+    # spec invariant 2^k < v <= 2^(k+1) for every non-zero bucket
+    for k, r in rows.items():
+        if k in (-99,):
+            continue
+        assert 2 ** k < r.bucket_min and r.bucket_max <= 2 ** (k + 1)
