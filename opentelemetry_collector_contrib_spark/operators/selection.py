@@ -135,6 +135,13 @@ def dsir_scores(
     t_tot, r_tot = feats.agg(
         F.sum("c_t").cast("long"), F.sum("c_r").cast("long")
     ).collect()[0]
+    if not t_tot or not r_tot:
+        raise ValueError(
+            "dsir_scores: feature table has no "
+            + ("target" if not t_tot else "raw")
+            + " counts — is_target matched nothing (or feats is empty); "
+            "importance ratios are undefined"
+        )
     model = feats.select(
         "bucket",
         F.expr(

@@ -72,6 +72,11 @@ def write_webdataset_shards(
     ``shard_col`` reuses a precomputed assignment (e.g. from
     deterministic_shuffle); otherwise shard = mix32(id) % num_shards.
     One exchange (repartition on shard), one tar written per shard task.
+
+    ``out_dir`` is opened with plain ``tarfile`` on the EXECUTOR — on a
+    real cluster it must be a shared/distributed filesystem mount (NFS,
+    FUSE'd object store); in local mode any directory works. The shard
+    bytes themselves are deterministic either way.
     """
     if shard_col is None:
         df = df.withColumn(
