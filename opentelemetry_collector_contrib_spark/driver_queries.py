@@ -3387,6 +3387,51 @@ FROM parsed GROUP BY severity_text, bucket_idx
 _SQL_EXPO_HIST = _expo_hist_sql()
 
 
+_CUR_SHARDS = 4
+
+
+def _q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-curriculum training order: CCNet-style LM buckets
+    (head/middle/tail) composed with the deterministic per-bucket
+    shuffle — global order = (bucket, shard, pos), no global sort, one
+    exchange + per-(bucket, shard) local ranks. The whole chain (LM
+    train → score → bucket → order) is one composed plan."""
+    from .operators.lm import SCALE, bigram_counts, context_counts, lm_score
+    from .operators.selection import curriculum_order
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens", "source"
+    )
+    train = toks.filter(F.col("source") == _LM_TRAIN_SOURCE)
+    bg = bigram_counts(train, "tokens", vocab=VOCAB)
+    cx = context_counts(bg, vocab=VOCAB)
+    scored = lm_score(
+        toks, bg, cx, tokens_col="tokens", id_col="doc_id", vocab=VOCAB,
+        scale=SCALE, head_min=_LM_HEAD_MIN, tail_max=_LM_TAIL_MAX,
+    )
+    out = curriculum_order(scored, "bucket", "doc_id", num_shards=_CUR_SHARDS)
+    return out.select("doc_id", "bucket", "shard_id", "pos")
+
+
+def _curriculum_sql() -> str:
+    from .functions.hashing import mix32_sql
+
+    body = _lm_sql()
+    idx = body.rindex("\nSELECT doc_id,")
+    head, final = body[:idx], body[idx:]
+    mix = mix32_sql("doc_id", seed=19)
+    return head + f"""
+, lm_docs AS ({final})
+SELECT doc_id, bucket, CAST({mix} % {_CUR_SHARDS} AS INT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bucket, {mix} % {_CUR_SHARDS}
+                               ORDER BY {mix}, doc_id) - 1 AS BIGINT) AS pos
+FROM lm_docs
+"""
+
+
+_SQL_CURRICULUM = _curriculum_sql()
+
+
 _WDS_SHARDS = 8
 
 
@@ -3670,4 +3715,5 @@ REGISTRY: list[Query] = [
     Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
     Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
     Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
+    Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
 ]

@@ -200,6 +200,33 @@ def token_budget_cap(
     return staged.withColumn("kept", F.col("cum_before") < F.lit(budget))
 
 
+def curriculum_order(
+    df: DataFrame,
+    bucket_col: str = "bucket",
+    id_col: str = "doc_id",
+    num_shards: int = 8,
+    seed: int = 19,
+) -> DataFrame:
+    """Add (shard_id, pos) — a deterministic quality-curriculum training
+    order: global order = (bucket, shard_id, pos) lexicographic, i.e.
+    all head-bucket docs before middle before tail (the consumer defines
+    bucket precedence), pseudo-randomly shuffled WITHIN each bucket.
+
+    No global sort: shard = mix32(id) % num_shards, pos = rank within
+    (bucket, shard) by (mix32, id) — one exchange, per-(bucket, shard)
+    local sorts, the deterministic_shuffle recipe applied per bucket.
+    A pure function of the rows (cluster-size/partitioning invariant).
+    """
+    prio = mix32_col(F.col(id_col).cast("long"), seed=seed)
+    staged = df.withColumn("__prio", prio).withColumn(
+        "shard_id", F.pmod(F.col("__prio"), F.lit(num_shards)).cast("int")
+    )
+    w = Window.partitionBy(bucket_col, "shard_id").orderBy("__prio", id_col)
+    return staged.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__prio")
+
+
 def stratified_split(
     df: DataFrame,
     id_col: str = "doc_id",

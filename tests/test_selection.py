@@ -99,3 +99,26 @@ def test_stratified_split_fractions_and_purity(spark):
         for r in stratified_split(docs.repartition(32), "doc_id").collect()
     }
     assert a == b
+
+
+def test_curriculum_order_semantics(spark):
+    from opentelemetry_collector_contrib_spark.operators.selection import (
+        curriculum_order,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["head", "middle", "tail"][i % 3]) for i in range(300)],
+        "doc_id long, bucket string",
+    )
+    out = curriculum_order(docs, num_shards=4).collect()
+    # pos is a dense 0..n-1 rank within each (bucket, shard)
+    cells = {}
+    for r in out:
+        cells.setdefault((r.bucket, r.shard_id), []).append(r.pos)
+    for cell, poss in cells.items():
+        assert sorted(poss) == list(range(len(poss))), cell
+    # pure row function: same assignment on any partitioning
+    again = curriculum_order(docs.repartition(16), num_shards=4).collect()
+    assert {(r.doc_id, r.shard_id, r.pos) for r in out} == {
+        (r.doc_id, r.shard_id, r.pos) for r in again
+    }
