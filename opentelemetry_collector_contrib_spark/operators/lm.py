@@ -122,7 +122,9 @@ def lm_score(
     ).withColumn("a", (F.col("g") / vocab).cast("long"))
 
     bg = F.broadcast(bigrams) if broadcast_weights else bigrams.hint("shuffle_hash")
-    cx = F.broadcast(contexts) if broadcast_weights else contexts.hint("shuffle_hash")
+    # contexts is ≤ vocab rows BY CONSTRUCTION (one per distinct left
+    # element) — always broadcastable, even when the bigram table is not
+    cx = F.broadcast(contexts)
     j = ex.join(bg, on="g", how="left").join(cx, on="a", how="left")
     w = F.expr(
         f"(coalesce(c_ab, 0) + 1) * cast({scale} as bigint)"

@@ -169,9 +169,18 @@ def run_curate(spark) -> dict:
 
 
 def run_lm(spark) -> dict:
-    """Round-4 op: bigram-LM train (full corpus) + score (full corpus) —
-    both passes explode 100M × full-length token arrays; the shuffles stay
-    vocab-bounded (train) / doc-count (score)."""
+    """Round-4 op: bigram-LM train + score at 100M rows.
+
+    The synthetic tokens are UNIFORM over the 50257 vocab — the WORST
+    case for a bigram model: distinct observed bigrams are corpus-bounded
+    (≈2.3B at full length), not Zipf-concentrated like real text, so the
+    weight table cannot broadcast (the first full-length attempt died
+    exactly there — rc=1, driver broadcast OOM). This run therefore
+    exercises the operator's documented big-vocabulary path:
+    broadcast_weights=False (shuffle-hash join on the packed bigram key;
+    contexts stay broadcast — vocab-bounded by construction) at cap 16
+    (≈0.6B distinct bigrams, sized to the sandbox's 75 GB scratch like
+    dup_spans' cap; override with SPARK_GRAFT_ROBUST_LM_CAP)."""
     from pyspark.sql import functions as F
 
     from opentelemetry_collector_contrib_spark.operators.lm import (
@@ -180,11 +189,12 @@ def run_lm(spark) -> dict:
         lm_score,
     )
 
-    t = _tokens(spark, None)
+    t = _tokens(spark, LM_CAP)
     train = t.filter(F.col("source") == "src-hot")
     bg = bigram_counts(train, "tokens")
     cx = context_counts(bg)
-    out = lm_score(t, bg, cx, tokens_col="tokens", id_col="doc_id")
+    out = lm_score(t, bg, cx, tokens_col="tokens", id_col="doc_id",
+                   broadcast_weights=False)
     row = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("n_big").alias("bigrams"),
@@ -211,12 +221,13 @@ def run_bpe(spark) -> dict:
 
 
 BPE_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_BPE_CAP", "32"))
+LM_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_LM_CAP", "16"))
 
 OPS = {
     "line_dedup": (run_line_dedup, CAP_TOKENS),
     "dup_spans": (run_dup_spans, DUP_CAP),
     "curate_corpus": (run_curate, None),
-    "lm_score": (run_lm, None),
+    "lm_score": (run_lm, LM_CAP),
     "bpe_learn": (run_bpe, BPE_CAP),
 }
 
