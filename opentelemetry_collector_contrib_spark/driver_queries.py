@@ -3627,6 +3627,78 @@ FROM sp GROUP BY source, split ORDER BY source, split
 _SQL_STRATIFIED = _stratified_sql()
 
 
+def _q_kmeans_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed full-corpus Lloyd k-means (the SemDeDup/IVF centroid
+    trainer without a sample cap): integer-quantized vectors, deterministic
+    smallest-(mix32,id) seeds, engine-exact argmax assignment, floor-div
+    integer centroid updates. The DuckDB oracle replays every iteration as
+    unrolled CTEs (the `bpe_learn` discipline) — seeds, per-iteration
+    assignment, per-cell floored means, final assignment."""
+    from .operators.similarity import kmeans_train_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assignments, _ = kmeans_train_quantized(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, seed=_KMEANS_SEED
+    )
+    return assignments.orderBy("vec_id")
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 3
+_KMEANS_SEED = 7
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                seed: int = _KMEANS_SEED, dim: int = 64) -> str:
+    from .functions.hashing import mix32_sql
+
+    mix = mix32_sql("vec_id", seed=seed)
+    rng = f"range(1, {dim + 1})"
+
+    def score(qe: str, cv: str) -> str:
+        qd = (f"CAST(CAST(list_sum(list_transform({rng}, j -> {qe}[j] * {cv}[j]))"
+              " AS BIGINT) AS DOUBLE)")
+        ss = (f"greatest(CAST(list_sum(list_transform({rng}, j -> {cv}[j] * {cv}[j]))"
+              " AS BIGINT), 1)")
+        return f"{qd} / sqrt(CAST({ss} AS DOUBLE))"
+
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qe
+  FROM embeddings
+), c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY {mix}, vec_id) - 1 AS INT) AS cell, qe AS cv
+  FROM q ORDER BY {mix}, vec_id LIMIT {k}
+)"""]
+    s = score("q.qe", "c.cv")
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+  SELECT vec_id, qe, cell FROM (
+    SELECT q.vec_id, q.qe, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {s} DESC, c.cell) AS rn
+    FROM q CROSS JOIN c{i - 1} c) t WHERE rn = 1
+), m{i} AS (
+  SELECT cell, list(CAST(s AS BIGINT) ORDER BY d) AS cv FROM (
+    SELECT a.cell, t.d,
+           (SUM(a.qe[t.d]) - ((SUM(a.qe[t.d]) % COUNT(*)) + COUNT(*)) % COUNT(*)) // COUNT(*) AS s
+    FROM a{i} a CROSS JOIN {rng} t(d) GROUP BY a.cell, t.d) g GROUP BY cell
+), c{i} AS (
+  SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
+  FROM c{i - 1} p LEFT JOIN m{i} m ON m.cell = p.cell
+)""")
+    parts.append(f"""
+SELECT vec_id, cell FROM (
+    SELECT q.vec_id, c.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {s} DESC, c.cell) AS rn
+    FROM q CROSS JOIN c{iters} c) t WHERE rn = 1 ORDER BY vec_id
+""")
+    return "".join(parts)
+
+
+_SQL_KMEANS = _kmeans_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3716,4 +3788,5 @@ REGISTRY: list[Query] = [
     Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
     Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
     Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
+    Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
 ]

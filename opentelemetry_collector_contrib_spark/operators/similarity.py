@@ -900,3 +900,106 @@ def embedding_near_dups(
             "cosine",
         )
     )
+
+
+def kmeans_train_quantized(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dim: int = 64,
+) -> tuple[DataFrame, list[list[int]]]:
+    """Distributed Lloyd k-means over the full corpus — the trainer that
+    feeds ``semdedup_quantized`` / ``ivf_topk_quantized`` centroids without
+    the driver-side sample cap of ``train_ivf_centroids`` (faiss trains its
+    coarse quantizer on a bounded sample; SemDeDup §3 clusters the WHOLE
+    embedding table — this is that path, MLlib-KMeans-shaped but
+    integer-exact so a SQL oracle can replay every iteration).
+
+    Determinism/exactness contract (same discipline as ``bpe_learn``'s
+    unrolled merge replay):
+
+    - vectors quantize to round(x*1000) longs (the repo-wide recipe);
+    - seeds = the k rows with smallest (mix32(id), id) — order-free,
+      partition-invariant, SQL-replicable;
+    - assignment = argmax over cells of qdot(qe, c)/sqrt(max(‖c‖²,1)),
+      ties to the smaller cell id. qdot is int64-exact (dim 64 × 1000² →
+      ≤ 2^26); the norm is sqrt of an int64 — both engines' IEEE-754
+      correctly-rounded sqrt/division agree bit-for-bit, so the argmax
+      (and its tie-break) is engine-exact. max(·,1) guards the all-zero
+      centroid: its dot is 0 anyway, the guard only avoids 0/0;
+    - update = per-cell elementwise FLOOR-division mean of the member qe
+      vectors, kept as integers (floor = (s - pmod(s, n)) / n in both
+      engines); an emptied cell keeps its previous centroid (standard
+      Lloyd degenerate-cell policy, also what faiss does by default).
+
+    Physical shape per iteration (the 100 TB audit): one cached scan of
+    (id, qe); assignment is k compile-time score expressions inside
+    whole-stage codegen (no join, no Python); the update is a single
+    groupBy(cell) with map-side partial aggregation of dim+1 longs —
+    the only exchange, k rows × (dim+1) columns on the wire; the k×dim
+    integer centroid state collects to the driver exactly like MLlib's
+    aggregateByKey-and-broadcast loop (bounded algorithm state, not data).
+
+    Returns (assignments DataFrame (id, cell) under the FINAL centroids,
+    final integer centroids).
+    """
+    import math
+
+    from ..functions.hashing import mix32_col
+
+    qdf = df.select(
+        F.col(id_col), _quantize(F.col(vec_col)).alias("__qe")
+    ).persist()
+
+    def scores(cents: list[list[int]]) -> list[Column]:
+        out = []
+        for row in cents:
+            arr = F.array(*[F.lit(int(v)).cast("long") for v in row])
+            qd = F.aggregate(
+                F.zip_with(F.col("__qe"), arr, lambda a, c: a * c),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            ss = sum(int(v) * int(v) for v in row)
+            out.append(qd.cast("double") / F.lit(math.sqrt(max(ss, 1))))
+        return out
+
+    def assign(cents: list[list[int]]) -> DataFrame:
+        cells = [
+            F.struct(s.alias("s"), F.lit(-c).alias("nc"))
+            for c, s in enumerate(scores(cents))
+        ]
+        return qdf.withColumn(
+            "cell", (-F.reverse(F.array_sort(F.array(*cells)))[0].nc).cast("int")
+        )
+
+    seed_rows = (
+        qdf.withColumn("__m", mix32_col(F.col(id_col), seed))
+        .orderBy("__m", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [[int(v) for v in r["__qe"]] for r in seed_rows]
+
+    for _ in range(iters):
+        sums = (
+            assign(cents)
+            .groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                *[F.sum(F.col("__qe")[d]).alias(f"s{d}") for d in range(dim)],
+            )
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in sums:
+            n = r["cnt"]
+            new_cents[r["cell"]] = [int(r[f"s{d}"]) // n for d in range(dim)]
+        cents = new_cents
+
+    out = assign(cents).select(F.col(id_col), "cell")
+    qdf.unpersist(False)  # iterations are done; the final pass re-derives qe in-plan
+    return out, cents

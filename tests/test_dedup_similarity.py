@@ -1065,3 +1065,79 @@ class TestCuratePipeline:
             by_shard.setdefault(r.shard_id, []).append(r.pos)
         for poss in by_shard.values():
             assert sorted(poss) == list(range(len(poss)))
+
+
+class TestKMeans:
+    """Distributed Lloyd k-means (kmeans_train_quantized): engine-exact
+    integer semantics, partition invariance, cluster sanity."""
+
+    def _mkdf(self, spark, nper=20):
+        # three tight groups around orthogonal-ish directions in dim 4
+        base = {0: [0.9, 0.1, 0.0, 0.0], 1: [0.0, 0.9, 0.1, 0.0], 2: [0.0, 0.0, 0.1, 0.9]}
+        rows = []
+        for g in range(3):
+            for i in range(nper):
+                jit = [(v + ((i * 7 + d) % 5 - 2) * 0.01) for d, v in enumerate(base[g])]
+                rows.append((g * nper + i, jit))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_replica_parity_and_cluster_sanity(self, spark):
+        import math
+
+        df = self._mkdf(spark)
+        got, cents = sim.kmeans_train_quantized(df, k=3, iters=2, dim=4, seed=7)
+        got = {r.vec_id: r.cell for r in got.collect()}
+
+        # independent python replica with the documented semantics
+        KNUTH, M32, M16 = 2654435761, 1 << 32, 1 << 16
+
+        def mix32(key, seed=7):
+            h = (key + seed) % M32
+            return ((h % M16) * KNUTH + ((h // M16) * KNUTH % M16) * M16) % M32
+
+        qe = {
+            r.vec_id: [int(np.round(np.float64(np.float32(x)) * 1000)) for x in r.embedding]
+            for r in df.collect()
+        }
+        cents_r = [list(qe[v]) for v in sorted(qe, key=lambda v: (mix32(v), v))[:3]]
+
+        def assign(cs):
+            out = {}
+            for vid, x in qe.items():
+                best = None
+                for c, cv in enumerate(cs):
+                    s = sum(a * b for a, b in zip(x, cv)) / math.sqrt(
+                        max(sum(v * v for v in cv), 1)
+                    )
+                    if best is None or s > best[0]:
+                        best = (s, c)
+                out[vid] = best[1]
+            return out
+
+        for _ in range(2):
+            a = assign(cents_r)
+            for c in range(3):
+                vids = [v for v, cc in a.items() if cc == c]
+                if vids:
+                    cents_r[c] = [
+                        sum(qe[v][d] for v in vids) // len(vids) for d in range(4)
+                    ]
+        assert cents == cents_r
+        assert got == assign(cents_r)
+        # tight groups must not be split across cells
+        for g in range(3):
+            cells = {got[g * 20 + i] for i in range(20)}
+            assert len(cells) == 1, (g, cells)
+
+    def test_partition_invariance(self, spark):
+        df = self._mkdf(spark)
+        a1, c1 = sim.kmeans_train_quantized(df.repartition(1), k=3, iters=2, dim=4)
+        a7, c7 = sim.kmeans_train_quantized(df.repartition(7), k=3, iters=2, dim=4)
+        assert c1 == c7
+        assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a7.collect()))
+
+    def test_k1_single_cell(self, spark):
+        df = self._mkdf(spark, nper=5)
+        a, cents = sim.kmeans_train_quantized(df, k=1, iters=1, dim=4)
+        assert len(cents) == 1
+        assert {r.cell for r in a.collect()} == {0}

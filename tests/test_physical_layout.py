@@ -339,3 +339,34 @@ def test_hll_plan_two_bounded_exchanges(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan[:2000]
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_kmeans_plan_shapes(spark):
+    """Distributed k-means plan audit: the per-iteration update is ONE
+    exchange of k rows x (dim+1) longs (map-side partial agg over cells);
+    the assignment is pure codegen — zero Python nodes, zero joins, zero
+    exchanges (the k score expressions are compile-time literals)."""
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        _quantize,
+        kmeans_train_quantized,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [((i * 3 + d) % 7 - 3) / 4.0 for d in range(4)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    ).repartition(8)
+
+    assignments, cents = kmeans_train_quantized(df, k=4, iters=1, dim=4)
+    plan = _executed_plan(assignments)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan, plan[:2000]
+    assert "Exchange hashpartitioning" not in plan, plan[:2000]
+
+    # the update aggregation (the trainer's in-loop form): one exchange only
+    qdf = df.select("vec_id", _quantize(F.col("embedding")).alias("__qe"))
+    one = qdf.withColumn("cell", F.lit(0)).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("cnt"), *[F.sum(F.col("__qe")[d]) for d in range(4)]
+    )
+    plan2 = _executed_plan(one)
+    assert plan2.count("Exchange hashpartitioning") == 1, plan2[:2000]
+    assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
