@@ -3648,20 +3648,27 @@ _KMEANS_ITERS = 3
 _KMEANS_SEED = 7
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
-                seed: int = _KMEANS_SEED, dim: int = 64) -> str:
+def _kmeans_score_sql(qe: str, cv: str, dim: int = 64) -> str:
+    """Engine-exact argmax score: int64 qdot / sqrt(max(‖c‖²,1)) as DOUBLEs."""
+    rng = f"range(1, {dim + 1})"
+    qd = (f"CAST(CAST(list_sum(list_transform({rng}, j -> {qe}[j] * {cv}[j]))"
+          " AS BIGINT) AS DOUBLE)")
+    ss = (f"greatest(CAST(list_sum(list_transform({rng}, j -> {cv}[j] * {cv}[j]))"
+          " AS BIGINT), 1)")
+    return f"{qd} / sqrt(CAST({ss} AS DOUBLE))"
+
+
+def _kmeans_ctes(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                 seed: int = _KMEANS_SEED, dim: int = 64) -> str:
+    """The unrolled Lloyd replay: WITH q, seeds c0, then per iteration the
+    assignment a{i}, floored-mean m{i}, and carried centroids c{i} (empty
+    cells keep the previous centroid). Ends at c{iters} — callers append
+    their own final SELECT (plain assignment, or the SemDeDup prune)."""
     from .functions.hashing import mix32_sql
 
     mix = mix32_sql("vec_id", seed=seed)
     rng = f"range(1, {dim + 1})"
-
-    def score(qe: str, cv: str) -> str:
-        qd = (f"CAST(CAST(list_sum(list_transform({rng}, j -> {qe}[j] * {cv}[j]))"
-              " AS BIGINT) AS DOUBLE)")
-        ss = (f"greatest(CAST(list_sum(list_transform({rng}, j -> {cv}[j] * {cv}[j]))"
-              " AS BIGINT), 1)")
-        return f"{qd} / sqrt(CAST({ss} AS DOUBLE))"
-
+    s = _kmeans_score_sql("q.qe", "c.cv", dim)
     parts = [f"""
 WITH q AS (
   SELECT vec_id,
@@ -3671,7 +3678,6 @@ WITH q AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY {mix}, vec_id) - 1 AS INT) AS cell, qe AS cv
   FROM q ORDER BY {mix}, vec_id LIMIT {k}
 )"""]
-    s = score("q.qe", "c.cv")
     for i in range(1, iters + 1):
         parts.append(f""", a{i} AS (
   SELECT vec_id, qe, cell FROM (
@@ -3687,16 +3693,80 @@ WITH q AS (
   SELECT p.cell, COALESCE(m.cv, p.cv) AS cv
   FROM c{i - 1} p LEFT JOIN m{i} m ON m.cell = p.cell
 )""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS,
+                seed: int = _KMEANS_SEED, dim: int = 64) -> str:
+    s = _kmeans_score_sql("q.qe", "c.cv", dim)
+    return _kmeans_ctes(k, iters, seed, dim) + f"""
 SELECT vec_id, cell FROM (
     SELECT q.vec_id, c.cell,
            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {s} DESC, c.cell) AS rn
     FROM q CROSS JOIN c{iters} c) t WHERE rn = 1 ORDER BY vec_id
-""")
-    return "".join(parts)
+"""
 
 
 _SQL_KMEANS = _kmeans_sql()
+
+
+def _q_semdedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup paper pipeline END TO END (Abbas et al. 2023 §3:
+    "cluster the embedding space with k-means, then prune within-cluster
+    near-duplicates"): distributed k-means trains the centroids on the full
+    corpus, and semantic dedup prunes within the trained cells — one
+    composed job, every stage engine-exact. The oracle replays the whole
+    thing: the unrolled Lloyd iterations FEED the prune CTEs, so a wrong
+    centroid anywhere surfaces as a value mismatch."""
+    from .operators.similarity import kmeans_train_quantized, semdedup_quantized
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = kmeans_train_quantized(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS, seed=_KMEANS_SEED
+    )
+    return semdedup_quantized(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        threshold_num=_SEM_NUM, threshold_den=_SEM_DEN,
+    ).select("vec_id", "cell", "n_dups", "kept")
+
+
+def _semdedup_trained_sql() -> str:
+    # semdedup_quantized assigns cells by qdot/sqrt(‖c‖²) (no max-1 guard —
+    # trained centroids are floored means of real vectors, never all-zero
+    # in practice; the guard exists only inside the trainer's own loop).
+    num2, den2 = _SEM_NUM * _SEM_NUM, _SEM_DEN * _SEM_DEN
+    sd_score = (
+        "CAST(CAST(list_sum(list_transform(range(1, 65), i -> q.qe[i] * c.cv[i]))"
+        " AS BIGINT) AS DOUBLE)"
+        " / sqrt(CAST(CAST(list_sum(list_transform(range(1, 65), i -> c.cv[i] * c.cv[i]))"
+        " AS BIGINT) AS DOUBLE))"
+    )
+    return _kmeans_ctes() + f""", sd_cells AS (
+  SELECT q.vec_id, c.cell,
+         ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY {sd_score} DESC, c.cell) AS rn
+  FROM q CROSS JOIN c{_KMEANS_ITERS} c
+), assign AS (
+  SELECT cs.vec_id, cs.cell, q.qe,
+         CAST(list_sum(list_transform(q.qe, x -> x*x)) AS BIGINT) AS qn
+  FROM sd_cells cs JOIN q ON q.vec_id = cs.vec_id WHERE cs.rn = 1
+), pairs AS (
+  SELECT a.vec_id AS ida,
+         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS qd,
+         a.qn AS na, b.qn AS nb
+  FROM assign a JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+), dups AS (
+  SELECT ida, COUNT(*) AS n_dups FROM pairs
+  WHERE qd >= 0 AND qd*qd*{den2} >= na*nb*{num2}
+  GROUP BY ida
+)
+SELECT a.vec_id, a.cell,
+       CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+       COALESCE(d.n_dups, 0) = 0 AS kept
+FROM assign a LEFT JOIN dups d ON a.vec_id = d.ida
+"""
+
+
+_SQL_SEMDEDUP_TRAINED = _semdedup_trained_sql()
 
 
 REGISTRY: list[Query] = [
@@ -3789,4 +3859,5 @@ REGISTRY: list[Query] = [
     Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
     Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
     Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
+    Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
 ]
