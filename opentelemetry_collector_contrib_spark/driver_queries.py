@@ -3769,6 +3769,42 @@ FROM assign a LEFT JOIN dups d ON a.vec_id = d.ida
 _SQL_SEMDEDUP_TRAINED = _semdedup_trained_sql()
 
 
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source n-gram contamination matrix (the source×source
+    generalization of decontaminate): exact shingle-set |∩|/|∪| per source
+    pair, built around ONE corpus-scale exchange (groupBy shingle →
+    distinct source set → local pair expansion)."""
+    from .operators.dedup import source_overlap
+
+    docs = _tokens_of_docs(spark, sf_dir)
+    return source_overlap(docs, "source", "tokens", n=3).orderBy("src_a", "src_b")
+
+
+_SQL_SOURCE_OVERLAP = _SQL_BASE + """
+, sh AS (
+  SELECT source,
+         list_distinct(list_transform(range(1, len(tokens)-1),
+           i -> CAST(tokens[i] AS BIGINT)*2525766049 + CAST(tokens[i+1] AS BIGINT)*50257 + tokens[i+2])) AS shingles
+  FROM base
+), ssg AS (
+  SELECT DISTINCT source, unnest(shingles) AS sg FROM sh
+), sizes AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS set_size FROM ssg GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS inter_size
+  FROM ssg a JOIN ssg b ON a.sg = b.sg AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, i.inter_size,
+       sa.set_size + sb.set_size - i.inter_size AS union_size,
+       sa.set_size AS size_a, sb.set_size AS size_b
+FROM inter i
+JOIN sizes sa ON sa.source = i.src_a
+JOIN sizes sb ON sb.source = i.src_b
+ORDER BY src_a, src_b
+"""
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3860,4 +3896,5 @@ REGISTRY: list[Query] = [
     Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
     Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
     Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
+    Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
 ]

@@ -883,3 +883,88 @@ def remove_dup_spans(
         F.size("__toks").cast("long").alias("n_tok"),
         (F.size("__toks") - F.size(kept)).cast("long").alias("n_removed"),
     )
+
+
+def source_pair_counts(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    n: int = 3,
+) -> DataFrame:
+    """The heavy stage of ``source_overlap``: per ordered source pair
+    (a ≤ b, diagonal included), the count of shingles both sources
+    contain. Exactly TWO exchanges — the corpus-scale groupBy(shingle)
+    and the |sources|²-bounded pair rollup (plan-frozen in
+    test_physical_layout)."""
+    sh = ngram_shingles(df, tokens_col, n)
+    raw = sh.select(
+        F.col(source_col).alias("src"), F.explode("shingles").alias("sg")
+    )
+    per_sg = raw.groupBy("sg").agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+    # ordered pairs with diagonal: position i (0-based) pairs with slice
+    # starting at 1-based i+1 = itself and everything after it
+    pairs = per_sg.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "srcs",
+                    lambda a, i: F.transform(
+                        F.slice(F.col("srcs"), i + F.lit(1), F.size("srcs")),
+                        lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources, the
+    exact n-gram shingle-set intersection/union — the source-level
+    generalization of ``decontaminate`` (corpus×benchmark → source×source).
+    The standard corpus-forensics question "how much does dump A leak into
+    dump B / does train overlap val at the n-gram level" as one aggregate.
+
+    Physical shape (the 100 TB audit): ONE corpus-scale exchange — the
+    groupBy(shingle) that builds each shingle's distinct source set
+    (map-side combine collapses per-partition duplicates first). Pair
+    expansion happens per shingle against that array INCLUDING the
+    diagonal (a,a), so a single tiny aggregation (≤ |sources|² rows after
+    partial agg) yields both the pairwise intersections (a<b) AND the
+    per-source set sizes (the diagonal: |{sg : a ∈ srcs(sg)}| = |S_a|).
+    That counts table is persisted — it is consumed three times (inter +
+    two size joins) and without the persist each consumer would replay the
+    corpus exchange. Sizes re-join by broadcast. No inverted-index
+    self-join of two corpus-size sides is ever planned.
+
+    Returns (src_a, src_b, inter_size, union_size, size_a, size_b), one
+    row per unordered source pair sharing ≥1 shingle, all exact int64 —
+    jaccard = inter/union left to the caller to keep the columns
+    engine-exact.
+    """
+    counts = source_pair_counts(df, source_col, tokens_col, n).persist()
+    inter = counts.filter(F.col("src_a") < F.col("src_b")).withColumnRenamed(
+        "cnt", "inter_size"
+    )
+    sizes = counts.filter(F.col("src_a") == F.col("src_b")).select(
+        F.col("src_a").alias("src"), F.col("cnt").alias("set_size")
+    )
+    sa = sizes.select(F.col("src").alias("src_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("src").alias("src_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), on="src_a")
+        .join(F.broadcast(sb), on="src_b")
+        .select(
+            "src_a", "src_b", "inter_size",
+            (F.col("size_a") + F.col("size_b") - F.col("inter_size")).alias("union_size"),
+            "size_a", "size_b",
+        )
+    )

@@ -1141,3 +1141,29 @@ class TestKMeans:
         a, cents = sim.kmeans_train_quantized(df, k=1, iters=1, dim=4)
         assert len(cents) == 1
         assert {r.cell for r in a.collect()} == {0}
+
+
+class TestSourceOverlap:
+    def test_exact_counts(self, spark):
+        rows = [
+            # srcA and srcB share exactly the shingle (1,2,3); srcC disjoint
+            Row(doc_id=0, source="srcA", tokens=[1, 2, 3, 4]),   # sh: (1,2,3),(2,3,4)
+            Row(doc_id=1, source="srcB", tokens=[1, 2, 3]),      # sh: (1,2,3)
+            Row(doc_id=2, source="srcB", tokens=[9, 9, 9]),      # sh: (9,9,9)
+            Row(doc_id=3, source="srcC", tokens=[7, 8]),         # too short: none
+            Row(doc_id=4, source="srcC", tokens=[5, 6, 7]),      # sh: (5,6,7)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+        out = {(r.src_a, r.src_b): r for r in dd.source_overlap(df, "source", "tokens", 3).collect()}
+        assert set(out) == {("srcA", "srcB")}  # C never co-occurs on a shingle
+        r = out[("srcA", "srcB")]
+        assert r.inter_size == 1 and r.size_a == 2 and r.size_b == 2
+        assert r.union_size == 3
+
+    def test_within_source_dups_do_not_inflate(self, spark):
+        # the same shingle in many docs of one source counts once per source
+        rows = [Row(doc_id=i, source="s0", tokens=[1, 2, 3]) for i in range(5)]
+        rows += [Row(doc_id=10, source="s1", tokens=[1, 2, 3])]
+        df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
+        [r] = dd.source_overlap(df, "source", "tokens", 3).collect()
+        assert (r.inter_size, r.union_size, r.size_a, r.size_b) == (1, 1, 1, 1)

@@ -370,3 +370,34 @@ def test_kmeans_plan_shapes(spark):
     plan2 = _executed_plan(one)
     assert plan2.count("Exchange hashpartitioning") == 1, plan2[:2000]
     assert "ArrowEvalPython" not in plan2 and "BatchEvalPython" not in plan2
+
+
+def test_source_overlap_single_corpus_exchange(spark):
+    """source_overlap's heavy stage (source_pair_counts) plans exactly two
+    exchanges — the corpus-scale groupBy(shingle) and the
+    |sources|²-bounded pair rollup; the final assembly reads that stage
+    from cache (3 InMemoryTableScans: inter + two size joins) and joins
+    sizes by broadcast. No self-join of corpus-size sides, no Python
+    nodes. (Exchange counts are asserted on the UN-cached stage plan —
+    InMemoryRelation reprints its cached subtree per consumer, so string
+    counts over the final plan overstate real exchanges.)"""
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        source_overlap,
+        source_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 4), [(i + d) % 50 for d in range(12)]) for i in range(400)],
+        "doc_id long, source string, tokens array<int>",
+    ).repartition(8)
+    stage = source_pair_counts(df, "source", "tokens", 3)
+    plan = _executed_plan(stage)
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:3000]
+    assert "Join" not in plan, plan[:3000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    out = source_overlap(df, "source", "tokens", 3)
+    full = _executed_plan(out)
+    assert full.count("InMemoryTableScan") == 3, full[:3000]
+    assert full.count("BroadcastHashJoin") == 2, full[:3000]
+    assert "SortMergeJoin" not in full and "BroadcastNestedLoopJoin" not in full

@@ -220,8 +220,48 @@ def run_bpe(spark) -> dict:
     ]}
 
 
+def run_kmeans(spark) -> dict:
+    """Round-4 op: distributed Lloyd k-means at 10M × dim-64 embeddings
+    (deterministic synthetic vectors from the mix32 hash — uniform
+    directions, the balanced-cells case that maximizes assignment
+    compute). k=64 cells, 3 iterations + final assignment = 4 passes over
+    the cached (id, qe) projection; the only exchange per pass is the
+    64-row partial-agg rollup, so wall time is pure scan/codegen — the
+    quantity this run sizes. Embedding row count is 1/10th of the token
+    ops' 100M because a dim-64 vector row is ~60× a token row's bytes."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.functions.hashing import mix32_col
+    from opentelemetry_collector_contrib_spark.operators.similarity import (
+        kmeans_train_quantized,
+    )
+
+    df = spark.range(0, KMEANS_ROWS, 1, 256).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda d: ((mix32_col(F.col("id") * 64 + d, seed=3) % 2001 - 1000)
+                       / 1000.0).cast("float"),
+        ).alias("embedding"),
+    )
+    assignments, cents = kmeans_train_quantized(df, k=64, iters=3)
+    row = assignments.agg(
+        F.count(F.lit(1)).alias("rows_assigned"),
+        F.countDistinct("cell").alias("cells_used"),
+        F.sum("cell").alias("cell_sum"),
+    ).collect()[0]
+    return {
+        "rows": KMEANS_ROWS,  # overrides the token ops' N_ROWS in the JSON line
+        "rows_assigned": row["rows_assigned"],
+        "cells_used": row["cells_used"],
+        "cell_sum": row["cell_sum"],
+        "centroid0_head": cents[0][:4],
+    }
+
+
 BPE_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_BPE_CAP", "32"))
 LM_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_LM_CAP", "16"))
+KMEANS_ROWS = int(os.environ.get("SPARK_GRAFT_ROBUST_KMEANS_ROWS", "10000000"))
 
 OPS = {
     "line_dedup": (run_line_dedup, CAP_TOKENS),
@@ -229,6 +269,7 @@ OPS = {
     "curate_corpus": (run_curate, None),
     "lm_score": (run_lm, LM_CAP),
     "bpe_learn": (run_bpe, BPE_CAP),
+    "kmeans_train": (run_kmeans, None),
 }
 
 
