@@ -3805,6 +3805,59 @@ ORDER BY src_a, src_b
 """
 
 
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup candidates: positional
+    n-gram hashes → per-window minima (the local-minimum selection with
+    the shared-substring coverage guarantee) → inverted-index pair join.
+    The positional/substring-robust complement to MinHash and SimHash."""
+    from .operators.dedup import winnow_pairs
+
+    toks = _tokens_of_docs(spark, sf_dir).withColumn(
+        "doc_idx", row_idx_col(F.col("doc_id"))
+    ).drop("doc_id").withColumnRenamed("doc_idx", "doc_id")
+    return winnow_pairs(
+        toks, "doc_id", "tokens", n=3, w=_WINNOW_W, min_shared=1
+    ).orderBy("doc_a", "doc_b")
+
+
+_WINNOW_W = 4
+
+
+def _winnow_sql(w: int = _WINNOW_W) -> str:
+    from .functions.hashing import mix32_sql
+
+    packed = ("CAST(tokens[i] AS BIGINT)*2525766049"
+              " + CAST(tokens[i+1] AS BIGINT)*50257 + tokens[i+2]")
+    mix = mix32_sql(packed)
+    return _SQL_BASE + f"""
+, hs AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         list_transform(range(1, len(tokens)-1), i -> {mix}) AS hashes
+  FROM base
+), fp AS (
+  SELECT doc_id,
+         CASE WHEN len(hashes) >= {w} THEN
+           list_sort(list_distinct(list_transform(range(1, len(hashes)-{w - 2}),
+             i -> list_min(list_slice(hashes, i, i+{w - 1})))))
+         ELSE [] END AS fps
+  FROM hs
+), inv AS (
+  SELECT doc_id, len(fps) AS fp_size, unnest(fps) AS fpv FROM fp
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp_size AS fp_a, b.fp_size AS fp_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fp
+  FROM inv a JOIN inv b ON a.fpv = b.fpv AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT doc_a, doc_b, shared_fp, CAST(fp_a AS INT) AS fp_a, CAST(fp_b AS INT) AS fp_b
+FROM shared WHERE shared_fp >= 1 ORDER BY doc_a, doc_b
+"""
+
+
+_SQL_WINNOW = _winnow_sql()
+
+
 REGISTRY: list[Query] = [
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
@@ -3897,4 +3950,5 @@ REGISTRY: list[Query] = [
     Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
     Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
     Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
+    Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
 ]

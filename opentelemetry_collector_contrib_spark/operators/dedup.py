@@ -968,3 +968,94 @@ def source_overlap(
             "size_a", "size_b",
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    n: int = 3,
+    w: int = 4,
+    out: str = "fps",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm, §2-3): hash every positional n-gram, then slide a
+    w-wide window over the hash sequence and keep each window's MINIMUM —
+    the local-minimum selection guarantees any shared substring of length
+    ≥ n+w-1 contributes at least one shared fingerprint (the paper's
+    coverage guarantee), at expected density 2/(w+1) of all n-grams.
+    Complements MinHash (set-similarity) and exact-substring dup_spans:
+    winnowing is the positional/substring-robust fingerprint family.
+
+    All pure array expressions inside codegen — positional packed n-grams
+    (NOT the distinct shingle set), mix32-hashed so window minima are
+    uniform, per-window array_min over a slice, distinct+sort. Engine-
+    exact: the same packing/mix/min replays in SQL. Docs shorter than
+    n+w-1 get an empty fingerprint set.
+    """
+    from ..functions.hashing import mix32_col
+
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    grams = F.transform(
+        F.sequence(F.lit(1), ln - (n - 1)),
+        lambda i: sum(
+            [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
+            F.lit(0).cast("long"),
+        ),
+    )
+    hashes = F.transform(grams, lambda g: mix32_col(g))
+    # greatest(...,1): sequence(1, x<=0) would generate DESCENDING indices
+    # (slice(start=0) raises even in the untaken when-branch under some
+    # codegen paths); the outer length guard discards the clamped result
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest((ln - (n - 1)) - (w - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(hashes, i, w)),
+    )
+    return df.withColumn(
+        out,
+        F.when(ln >= n + w - 1, F.array_sort(F.array_distinct(sel)))
+        .otherwise(F.array().cast("array<bigint>")),
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str = "tokens",
+    n: int = 3,
+    w: int = 4,
+    min_shared: int = 1,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs by shared winnowing fingerprints — the
+    MOSS matching step as an inverted-index equi-join (never all-pairs):
+    explode fingerprints, join on fingerprint id, count shared per pair.
+    ``max_fp_freq`` prunes stop-fingerprints from the index exactly like
+    ``jaccard_pairs``' hot-shingle cap (fan-out ≤ F² per key); the shared
+    count then undercounts by the dropped hot fingerprints (lower bound).
+    Returns (doc_a, doc_b, shared_fp, fp_a, fp_b)."""
+    fp = winnow_fingerprints(df, tokens_col, n, w).select(
+        F.col(id_col), F.col("fps"), F.size("fps").alias("fp_size")
+    )
+    inv = fp.select(id_col, "fp_size", F.explode("fps").alias("fpv"))
+    if max_fp_freq is not None:
+        freq = inv.groupBy("fpv").agg(F.count(F.lit(1)).alias("__df"))
+        hot = freq.filter(F.col("__df") > max_fp_freq).select("fpv")
+        inv = inv.join(hot, on="fpv", how="left_anti")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (
+        a.join(
+            b.hint("shuffle_hash"),
+            (F.col("a.fpv") == F.col("b.fpv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("a.fp_size").alias("fp_a"),
+            F.col("b.fp_size").alias("fp_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+        .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b")
+    )

@@ -1167,3 +1167,31 @@ class TestSourceOverlap:
         df = spark.createDataFrame(rows, "doc_id long, source string, tokens array<int>")
         [r] = dd.source_overlap(df, "source", "tokens", 3).collect()
         assert (r.inter_size, r.union_size, r.size_a, r.size_b) == (1, 1, 1, 1)
+
+
+class TestWinnow:
+    def test_coverage_guarantee_and_short_docs(self, spark):
+        # Winnowing guarantee: a shared substring of length >= n+w-1 (=6)
+        # must contribute at least one shared fingerprint.
+        common = [11, 12, 13, 14, 15, 16]
+        rows = [
+            Row(doc_id=0, tokens=[1, 2] + common + [3, 4]),
+            Row(doc_id=1, tokens=[9, 8, 7] + common),
+            Row(doc_id=2, tokens=[40, 41, 42, 43, 44, 45, 46, 47]),  # disjoint
+            Row(doc_id=3, tokens=[1, 2, 3]),  # shorter than n+w-1: no fps
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        fp = {r.doc_id: r.fps for r in dd.winnow_fingerprints(df, "tokens", 3, 4).select("doc_id", "fps").collect()}
+        assert fp[3] == []
+        assert set(fp[0]) & set(fp[1]), (fp[0], fp[1])
+        pairs = {(r.doc_a, r.doc_b): r.shared_fp for r in dd.winnow_pairs(df, "doc_id", "tokens", 3, 4).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+        assert not any(2 in p or 3 in p for p in pairs)
+
+    def test_density(self, spark):
+        # expected fingerprint density ~ 2/(w+1) of the n-gram count
+        rows = [Row(doc_id=0, tokens=[(i * 37 + 11) % 1000 for i in range(500)])]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        [r] = dd.winnow_fingerprints(df, "tokens", 3, 4).select(F.size("fps").alias("s")).collect()
+        n_grams = 500 - 2
+        assert 0.2 * n_grams < r.s < 0.6 * n_grams  # 2/(w+1)=0.4 ± slack

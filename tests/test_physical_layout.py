@@ -401,3 +401,20 @@ def test_source_overlap_single_corpus_exchange(spark):
     assert full.count("InMemoryTableScan") == 3, full[:3000]
     assert full.count("BroadcastHashJoin") == 2, full[:3000]
     assert "SortMergeJoin" not in full and "BroadcastNestedLoopJoin" not in full
+
+
+def test_winnow_pairs_plan_is_equi_join(spark):
+    """Winnowing candidate pairs join the inverted index on fingerprint id
+    (shuffle-hash equi-join) — never all-pairs, never sort-merge, zero
+    Python nodes; the fingerprint selection is pure array codegen."""
+    from opentelemetry_collector_contrib_spark.operators.dedup import winnow_pairs
+
+    df = spark.createDataFrame(
+        [(i, [(i * 13 + d) % 40 for d in range(20)]) for i in range(300)],
+        "doc_id long, tokens array<int>",
+    ).repartition(8)
+    out = winnow_pairs(df, "doc_id", "tokens", 3, 4)
+    plan = _executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan[:2000]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
