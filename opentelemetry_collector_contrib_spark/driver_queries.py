@@ -3805,6 +3805,69 @@ ORDER BY src_a, src_b
 """
 
 
+def _q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate line removal (RefinedWeb §3.2 family): lines
+    appearing in ≥2 docs AND ≥1/20 of a source's documents are stripped
+    from every document of that source (nav/banner/footer semantics);
+    docs reassembled in order with audit counts."""
+    from .operators.dedup import boilerplate_strip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0)
+    nlines = F.ceil(F.size(words) / _LINE_WORDS).cast("int")
+    lined = docs.select(
+        "doc_id", "source",
+        F.when(
+            nlines > 0,
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.sequence(F.lit(0), nlines - 1),
+                    lambda j: F.concat_ws(
+                        " ", F.slice(words, j * _LINE_WORDS + 1, _LINE_WORDS)
+                    ),
+                ),
+            ),
+        ).otherwise(F.lit("")).alias("lined_text"),
+    )
+    return boilerplate_strip(
+        lined, "doc_id", "lined_text", "source", frac_num=1, frac_den=20, min_docs=2
+    )
+
+
+_SQL_BOILERPLATE = f"""
+WITH words AS (
+  SELECT doc_id, source,
+         list_filter(str_split_regex(text, '\\s+'), w -> length(w) > 0) AS ws
+  FROM documents
+), lines AS (
+  SELECT doc_id, source, g.i AS pos,
+         array_to_string(ws[(g.i*{_LINE_WORDS}+1):(g.i*{_LINE_WORDS}+{_LINE_WORDS})], ' ') AS line
+  FROM words,
+       LATERAL (SELECT UNNEST(range(0, CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT))) AS i) g
+), df_docs AS (
+  SELECT source, line, COUNT(DISTINCT doc_id) AS dfd FROM lines GROUP BY 1, 2
+), src_docs AS (
+  SELECT source, COUNT(*) AS docs FROM documents GROUP BY source
+), bl AS (
+  SELECT d.source, d.line
+  FROM df_docs d JOIN src_docs s ON s.source = d.source
+  WHERE d.dfd >= 2 AND d.dfd * 20 >= s.docs * 1
+), marked AS (
+  SELECT l.doc_id, l.pos, l.line, (b.line IS NULL) AS keep
+  FROM lines l LEFT JOIN bl b ON b.source = l.source AND b.line = l.line
+)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(COALESCE(SUM(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+       COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY pos), '')
+         AS clean_text
+FROM marked GROUP BY doc_id
+"""
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint near-dup candidates: positional
     n-gram hashes → per-window minima (the local-minimum selection with
@@ -3951,4 +4014,5 @@ REGISTRY: list[Query] = [
     Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
     Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
     Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
+    Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
 ]

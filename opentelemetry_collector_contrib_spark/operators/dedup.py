@@ -1059,3 +1059,76 @@ def winnow_pairs(
         .filter(F.col("shared_fp") >= min_shared)
         .select("doc_a", "doc_b", "shared_fp", "fp_a", "fp_b")
     )
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str = "source",
+    sep: str = "\n",
+    frac_num: int = 1,
+    frac_den: int = 10,
+    min_docs: int = 2,
+    out: str = "clean_text",
+) -> DataFrame:
+    """Per-source boilerplate line removal (the RefinedWeb §3.2 / CCNet
+    line-filtering family): a line is boilerplate for a source when it
+    appears in ≥ ``min_docs`` distinct documents AND in ≥ frac_num/frac_den
+    of that source's documents (nav bars, cookie banners, license footers —
+    high within-domain document frequency is the signature). Boilerplate
+    lines are stripped from every document of that source; documents are
+    reassembled with surviving lines in original order. Differs from
+    ``line_dedup`` (which keeps ONE global copy): boilerplate keeps ZERO
+    copies, but only within sources where the line is actually frequent.
+
+    Physical shape: the line doc-frequency table costs two line-keyed
+    exchanges (distinct (source,line,id) then groupBy(source,line)); the
+    per-source doc totals broadcast back; the strip decision is a
+    line-keyed join against the frequency-filtered boilerplate set; one
+    final exchange by id reassembles. All exchange keys are
+    (source,line)-shaped — payloads never fan out.
+
+    Returns (id, out, n_lines, n_kept)."""
+    lines = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias("pos", "line"),
+    )
+    doc_freq = (
+        lines.select("__src", "line", id_col)
+        .distinct()
+        .groupBy("__src", "line")
+        .agg(F.count(F.lit(1)).alias("__df_docs"))
+    )
+    src_docs = df.groupBy(F.col(source_col).alias("__src")).agg(
+        F.count(F.lit(1)).alias("__docs")
+    )
+    bl = (
+        doc_freq.join(F.broadcast(src_docs), on="__src")
+        .filter(
+            (F.col("__df_docs") >= min_docs)
+            & (F.col("__df_docs") * frac_den >= F.col("__docs") * frac_num)
+        )
+        .select("__src", "line", F.lit(True).alias("__bl"))
+    )
+    marked = lines.join(bl, on=["__src", "line"], how="left")
+    keep = F.col("__bl").isNull()
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct("pos", "line")).otherwise(F.lit(None))
+                        )
+                    ),
+                    lambda s: s.getField("line"),
+                ),
+            ).alias(out),
+        )
+    )

@@ -1195,3 +1195,33 @@ class TestWinnow:
         [r] = dd.winnow_fingerprints(df, "tokens", 3, 4).select(F.size("fps").alias("s")).collect()
         n_grams = 500 - 2
         assert 0.2 * n_grams < r.s < 0.6 * n_grams  # 2/(w+1)=0.4 ± slack
+
+
+class TestBoilerplate:
+    def test_strips_frequent_lines_per_source(self, spark):
+        # "FOOTER" appears in 3/4 docs of srcA (>= 1/2) -> boilerplate there;
+        # it also appears once in srcB (1/2 docs = exactly 1 doc < min_docs=2)
+        rows = [
+            Row(doc_id=0, source="srcA", text="alpha\nFOOTER"),
+            Row(doc_id=1, source="srcA", text="beta\nFOOTER"),
+            Row(doc_id=2, source="srcA", text="FOOTER\ngamma"),
+            Row(doc_id=3, source="srcA", text="delta"),
+            Row(doc_id=4, source="srcB", text="FOOTER\nepsilon"),
+            Row(doc_id=5, source="srcB", text="zeta"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = {r.doc_id: r for r in dd.boilerplate_strip(
+            df, "doc_id", "text", "source", frac_num=1, frac_den=2, min_docs=2
+        ).collect()}
+        assert out[0].clean_text == "alpha" and out[0].n_kept == 1 and out[0].n_lines == 2
+        assert out[2].clean_text == "gamma"
+        assert out[3].clean_text == "delta"
+        # srcB: FOOTER in only 1 doc -> kept (min_docs / frequency is per source)
+        assert out[4].clean_text == "FOOTER\nepsilon" and out[4].n_kept == 2
+
+    def test_all_boilerplate_doc_becomes_empty(self, spark):
+        rows = [Row(doc_id=i, source="s", text="SAME") for i in range(4)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        out = dd.boilerplate_strip(df, "doc_id", "text", "source",
+                                   frac_num=1, frac_den=2, min_docs=2).collect()
+        assert all(r.clean_text == "" and r.n_kept == 0 and r.n_lines == 1 for r in out)
