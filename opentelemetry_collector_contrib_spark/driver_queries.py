@@ -3868,6 +3868,50 @@ FROM marked GROUP BY doc_id
 """
 
 
+_TEMP_TARGET = 150
+_TEMP_SEED = 5
+
+
+def _q_temp_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 temperature-scaled domain mixture (q_d ∝ √n_d — the XLM-R
+    exponential-smoothing recipe, fixed at the engine-exact α): integer
+    floor(√n) weights, order-free integer normalizer, deterministic
+    sampler-bucket keep. Oracle recomputes rates entirely in SQL."""
+    from .operators.sampler import temperature_mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    return temperature_mixture_sample(
+        docs, "source", F.col("doc_id"), _TEMP_TARGET, seed=_TEMP_SEED
+    ).select("source", "doc_id").orderBy("source", "doc_id")
+
+
+def _temp_mixture_sql() -> str:
+    from .functions.hashing import SAMPLER_BUCKETS, sampler_bucket_sql
+
+    return f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), sc AS (
+  SELECT source, n, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS s FROM counts
+), rated AS (
+  SELECT source,
+         LEAST(100.0,
+               CAST(s * {_TEMP_TARGET} AS DOUBLE) * 100.0
+               / (CAST(SUM(s) OVER () AS DOUBLE) * CAST(n AS DOUBLE))) AS rate_pct
+  FROM sc
+)
+SELECT d.source, d.doc_id
+FROM documents d JOIN rated r ON r.source = d.source
+WHERE {sampler_bucket_sql('d.doc_id', seed=_TEMP_SEED)} < r.rate_pct * {SAMPLER_BUCKETS} / 100.0
+ORDER BY d.source, d.doc_id
+"""
+
+
+_SQL_TEMP_MIXTURE = _temp_mixture_sql()
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing (MOSS) fingerprint near-dup candidates: positional
     n-gram hashes → per-window minima (the local-minimum selection with
@@ -4015,4 +4059,5 @@ REGISTRY: list[Query] = [
     Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
     Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
     Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
+    Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
 ]

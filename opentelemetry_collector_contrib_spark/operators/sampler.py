@@ -70,3 +70,54 @@ def mixture_sample(
         .filter(sampler_keep_col(key, rate_pct, seed=seed))
         .drop("__dom_cnt")
     )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key: Column,
+    target_total: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-scaled domain mixture at α = 1/2 (the multilingual
+    exponential-smoothing recipe — XLM-R/mBERT sample domains ∝ p_d^α with
+    α < 1 to upweight low-resource domains; α = 1/2 is the classic choice):
+    domain d keeps ≈ target_total · q_d rows where q_d ∝ √n_d.
+
+    α is FIXED at 1/2 because that makes the whole computation engine-exact:
+    √ of an int64 count is a correctly-rounded IEEE double in every engine
+    (general p^α via pow() is not correctly rounded and may differ in the
+    last ulp → boundary rows flip), floor(√n) is exact for n < 2^52, the
+    normalizer Σ_d floor(√n_d) is an order-free integer sum, and the final
+    rate divides exact integers as identically-ordered double ops. The keep
+    decision is the deterministic 14-bit sampler bucket.
+
+    Physical shape: one tiny per-domain count aggregate; the normalizer
+    Σ floor(√n_d) is a 1-row driver-side collect of that |domains|-bounded
+    table (the ``dsir_scores`` totals pattern — a constant-key join back
+    would constant-fold into the BroadcastNestedLoopJoin the plan
+    discipline bans, and an unpartitioned window warns; exact integer
+    state, not data); rates broadcast back onto the corpus; the filter is
+    whole-stage codegen. Same plan family as ``mixture_sample``."""
+    import math
+
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
+    counts = counts.withColumn(
+        "__sq", F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
+    )
+    norm = sum(
+        math.isqrt(r["__n"]) for r in counts.select("__n").collect()
+    )  # exact: floor(sqrt(double n)) == isqrt(n) for n < 2^52
+    if norm == 0:
+        raise ValueError("temperature_mixture_sample: empty input")
+    rate = F.least(
+        F.lit(100.0),
+        (F.col("__sq") * F.lit(int(target_total))).cast("double") * F.lit(100.0)
+        / (F.lit(float(norm)) * F.col("__n").cast("double")),
+    )
+    rates = counts.select(F.col(domain_col), rate.alias("__rate"))
+    return (
+        df.join(F.broadcast(rates), on=domain_col)
+        .filter(sampler_keep_col(key, F.col("__rate"), seed=seed))
+        .drop("__rate")
+    )

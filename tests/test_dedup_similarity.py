@@ -1225,3 +1225,40 @@ class TestBoilerplate:
         out = dd.boilerplate_strip(df, "doc_id", "text", "source",
                                    frac_num=1, frac_den=2, min_docs=2).collect()
         assert all(r.clean_text == "" and r.n_kept == 0 and r.n_lines == 1 for r in out)
+
+
+class TestTemperatureMixture:
+    def test_upweights_small_domains_exactly(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.sampler import (
+            temperature_mixture_sample,
+        )
+        from opentelemetry_collector_contrib_spark.functions.hashing import (
+            SAMPLER_BUCKETS, sampler_bucket_col,
+        )
+        import math
+
+        # big domain 400 docs, small domain 25: α=1/2 gives the small domain
+        # sqrt(25)/ (sqrt(400)+sqrt(25)) = 5/25 = 20% of the target
+        rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(25)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = temperature_mixture_sample(df, "source", F.col("doc_id"), 100, seed=9)
+        got = {(r.source, r.doc_id) for r in out.collect()}
+
+        # python replica: rates from integer sqrt weights + bucket keep
+        import collections
+        n = {"big": 400, "small": 25}
+        s = {k: math.isqrt(v) for k, v in n.items()}
+        S = sum(s.values())
+        exp = set()
+        KNUTH, M32, M16, SHIFT = 2654435761, 1 << 32, 1 << 16, 1 << 18
+        for doc, src in rows:
+            rate = min(100.0, float(s[src] * 100) * 100.0 / (float(S) * float(n[src])))
+            h = (doc + 9) % M32
+            b = ((h % M16) * KNUTH + ((h // M16) * KNUTH % M16) * M16) % M32 // SHIFT
+            if b < rate * SAMPLER_BUCKETS / 100.0:
+                exp.add((src, doc))
+        assert got == exp
+        by_src = collections.Counter(src for src, _ in got)
+        # ~20 of 100 target from the small domain (α=1/2 upweight vs its
+        # 25/425 ≈ 6% proportional share); exact counts fixed by the hash
+        assert by_src["small"] >= 10

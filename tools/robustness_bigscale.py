@@ -259,9 +259,55 @@ def run_kmeans(spark) -> dict:
     }
 
 
+def run_source_overlap(spark) -> dict:
+    """Round-4 op: cross-source contamination matrix at 100M rows.
+
+    Cap 16 sizes the one corpus-scale exchange — ~1.4B exploded
+    (source, shingle) rows ≈ 28 GB keyed by shingle — to the sandbox's
+    75 GB scratch (the same cap rule as dup_spans/lm_score); uniform
+    tokens make nearly every shingle unique, the worst case for the
+    groupBy(shingle) width."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import source_overlap
+
+    t = _tokens(spark, OVERLAP_CAP)
+    out = source_overlap(t, "source", "tokens", n=3)
+    row = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum("inter_size").alias("inter_total"),
+        F.max("union_size").alias("max_union"),
+    ).collect()[0]
+    return {"pairs": row["pairs"], "inter_total": row["inter_total"],
+            "max_union": row["max_union"]}
+
+
+def run_winnow(spark) -> dict:
+    """Round-4 op: winnowing fingerprint pair candidates at 100M rows.
+
+    Cap 16 → ~14 hashes/doc → ~5 fingerprints/doc at w=4 (density
+    2/(w+1)); the inverted-index self-join exchanges ~0.5B (fp, id)
+    rows per side. max_fp_freq=50 prunes stop-fingerprints so the
+    per-key fan-out stays ≤ 50² regardless of corpus size."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import winnow_pairs
+
+    t = _tokens(spark, WINNOW_CAP).select("doc_id", "tokens")
+    out = winnow_pairs(t, "doc_id", "tokens", n=3, w=4, min_shared=2,
+                       max_fp_freq=50)
+    row = out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.max("shared_fp").alias("max_shared"),
+    ).collect()[0]
+    return {"pairs": row["pairs"], "max_shared": row["max_shared"]}
+
+
 BPE_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_BPE_CAP", "32"))
 LM_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_LM_CAP", "16"))
 KMEANS_ROWS = int(os.environ.get("SPARK_GRAFT_ROBUST_KMEANS_ROWS", "10000000"))
+OVERLAP_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_OVERLAP_CAP", "16"))
+WINNOW_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_WINNOW_CAP", "16"))
 
 OPS = {
     "line_dedup": (run_line_dedup, CAP_TOKENS),
@@ -270,6 +316,8 @@ OPS = {
     "lm_score": (run_lm, LM_CAP),
     "bpe_learn": (run_bpe, BPE_CAP),
     "kmeans_train": (run_kmeans, None),
+    "source_overlap": (run_source_overlap, OVERLAP_CAP),
+    "winnow_pairs": (run_winnow, WINNOW_CAP),
 }
 
 
