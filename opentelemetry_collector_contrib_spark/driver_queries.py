@@ -3868,6 +3868,65 @@ FROM marked GROUP BY doc_id
 """
 
 
+def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-based near-dup removal: per MinHash-LSH connected cluster keep
+    the LONGEST member (score = token count, ties → smaller id) — the
+    production representative policy, vs minhash_dedup's min-id. The DuckDB
+    oracle replays the ENTIRE iterative pipeline: signatures, band pairs,
+    connected components as a RECURSIVE transitive-closure CTE
+    (data-dependent depth — the one iterative shape the unrolled-CTE
+    discipline can't cover), then the per-cluster argmax."""
+    from .operators.dedup import dedup_keep_best
+
+    toks = _tokens_of_docs(spark, sf_dir).withColumn(
+        "doc_idx", row_idx_col(F.col("doc_id"))
+    ).drop("doc_id").withColumnRenamed("doc_idx", "doc_id")
+    kept = dedup_keep_best(
+        toks, "tokens", "doc_id", F.size("tokens"), num_perms=4, rows_per_band=4
+    )
+    return kept.select(
+        "doc_id", F.size("tokens").cast("int").alias("n_tok")
+    ).orderBy("doc_id")
+
+
+def _dedup_keep_longest_sql() -> str:
+    sql = _SQL_BASE + _minhash_sql_cte() + """
+, prs AS (
+  SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS doc_a, CAST(b.doc_id AS BIGINT) AS doc_b
+  FROM sig a JOIN sig b
+    ON a.mh0 = b.mh0 AND a.mh1 = b.mh1 AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+       AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM prs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM prs
+), reach(a, b) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+), comp AS (
+  SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+), member AS (
+  SELECT c.node, c.component, CAST(len(b.tokens) AS INT) AS n_tok
+  FROM comp c JOIN base b ON CAST(b.doc_id AS BIGINT) = c.node
+), losers AS (
+  SELECT node FROM (
+    SELECT node, ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY n_tok DESC, node ASC) AS rn
+    FROM member) t WHERE rn > 1
+)
+SELECT CAST(b.doc_id AS BIGINT) AS doc_id, CAST(len(b.tokens) AS INT) AS n_tok
+FROM base b
+WHERE CAST(b.doc_id AS BIGINT) NOT IN (SELECT node FROM losers)
+ORDER BY doc_id
+"""
+    # the closure CTE needs the RECURSIVE keyword on the WITH chain
+    return sql.replace("WITH tok AS", "WITH RECURSIVE tok AS", 1)
+
+
+_SQL_DEDUP_KEEP_LONGEST = _dedup_keep_longest_sql()
+
+
 _TEMP_TARGET = 150
 _TEMP_SEED = 5
 
@@ -4060,4 +4119,5 @@ REGISTRY: list[Query] = [
     Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
     Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
     Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
+    Query("dedup_keep_longest", _q_dedup_keep_longest, _SQL_DEDUP_KEEP_LONGEST),
 ]

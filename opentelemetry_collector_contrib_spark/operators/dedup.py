@@ -1132,3 +1132,45 @@ def boilerplate_strip(
             ).alias(out),
         )
     )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    score: Column,
+    num_perms: int = 8,
+    rows_per_band: int = 2,
+    broadcast_max_ids: int = 10_000_000,
+) -> DataFrame:
+    """Near-dup removal with a POLICY representative: per connected near-dup
+    cluster keep the row maximizing ``score`` (ties → smaller id) instead of
+    ``minhash_dedup``'s min-id. Production pipelines keep the longest or
+    highest-quality member of a duplicate cluster (e.g. score =
+    F.size(tokens), or a quality-classifier output) — min-id is only the
+    right default when members are interchangeable.
+
+    Same physical skeleton as ``minhash_dedup`` (signature → single-
+    exchange LSH pair path → connected components); the added policy step
+    joins the (dup-subset-bounded) component table to an (id, score)
+    projection, window-ranks within each component by (score desc, id),
+    and anti-joins the losers back — broadcast when the dup set is small,
+    so the payload still never shuffles.
+    """
+    sig = minhash_signature(df, tokens_col, num_perms)
+    pairs = lsh_candidate_pairs(sig, id_col, num_perms, rows_per_band, dedup=False)
+    comp = connected_components(pairs)
+    scores = df.select(F.col(id_col).alias("node"), score.alias("__score"))
+    member = comp.join(scores, on="node")
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc(), F.col("node").asc()
+    )
+    losers = (
+        member.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
+        .localCheckpoint(eager=True)
+    )
+    if losers.count() <= broadcast_max_ids:
+        losers = F.broadcast(losers)
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1262,3 +1262,26 @@ class TestTemperatureMixture:
         # ~20 of 100 target from the small domain (α=1/2 upweight vs its
         # 25/425 ≈ 6% proportional share); exact counts fixed by the hash
         assert by_src["small"] >= 10
+
+
+class TestDedupKeepBest:
+    def test_keeps_longest_not_min_id(self, spark):
+        rows = [
+            # docs 0,1,2 identical token SETS (doc 2 longest via repeats);
+            # doc 3 unrelated
+            Row(doc_id=0, tokens=[1, 2, 3, 4, 5, 6, 7, 8]),
+            Row(doc_id=1, tokens=[1, 2, 3, 4, 5, 6, 7, 8]),
+            Row(doc_id=2, tokens=[1, 2, 3, 4, 5, 6, 7, 8, 1, 2, 3]),
+            Row(doc_id=3, tokens=[50, 60, 70, 80, 90, 100, 110, 120]),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        kept = {r.doc_id for r in dd.dedup_keep_best(
+            df, "tokens", "doc_id", F.size("tokens"), num_perms=8, rows_per_band=4
+        ).collect()}
+        # MinHash over token SETS: 0,1,2 collide; policy keeps the longest (2)
+        assert kept == {2, 3}
+        # contrast: min-id policy keeps 0
+        kept_minid = {r.doc_id for r in dd.minhash_dedup(
+            df, "tokens", "doc_id", num_perms=8, rows_per_band=4
+        ).collect()}
+        assert kept_minid == {0, 3}
