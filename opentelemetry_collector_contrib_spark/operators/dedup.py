@@ -976,6 +976,7 @@ def winnow_fingerprints(
     n: int = 3,
     w: int = 4,
     out: str = "fps",
+    engine: str = "arrow",
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
     the MOSS algorithm, §2-3): hash every positional n-gram, then slide a
@@ -986,36 +987,100 @@ def winnow_fingerprints(
     Complements MinHash (set-similarity) and exact-substring dup_spans:
     winnowing is the positional/substring-robust fingerprint family.
 
-    All pure array expressions inside codegen — positional packed n-grams
-    (NOT the distinct shingle set), mix32-hashed so window minima are
-    uniform, per-window array_min over a slice, distinct+sort. Engine-
-    exact: the same packing/mix/min replays in SQL. Docs shorter than
-    n+w-1 get an empty fingerprint set.
+    engine='arrow' (default): one vectorized numpy kernel per Arrow batch —
+    flat packed n-grams (shifted adds over the flattened token values),
+    vectorized mix32, ``sliding_window_view(...).min(axis=1)`` for every
+    window minimum at once, then a single lexsort dedup segmented back into
+    lists. The JVM higher-order form evaluates ~(grams × w) INTERPRETED
+    array ops per row (no codegen for transform/slice/array_min) — at a
+    100M-row robustness attempt it paced to >1 h of pure selection compute;
+    the kernel replaces that with ~5 numpy passes over the batch.
+    Bit-identical to the JVM form (asserted in tests).
+
+    engine='jvm': the dependency-free expression form — positional packed
+    n-grams (NOT the distinct shingle set), mix32-hashed, per-window
+    array_min over a slice, distinct+sort — kept as the cross-engine
+    equivalence witness; the SQL oracle replays this exact shape. Docs
+    shorter than n+w-1 get an empty fingerprint set in both engines.
     """
     from ..functions.hashing import mix32_col
 
-    t = F.col(tokens_col)
-    ln = F.size(t)
-    grams = F.transform(
-        F.sequence(F.lit(1), ln - (n - 1)),
-        lambda i: sum(
-            [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
-            F.lit(0).cast("long"),
-        ),
-    )
-    hashes = F.transform(grams, lambda g: mix32_col(g))
-    # greatest(...,1): sequence(1, x<=0) would generate DESCENDING indices
-    # (slice(start=0) raises even in the untaken when-branch under some
-    # codegen paths); the outer length guard discards the clamped result
-    sel = F.transform(
-        F.sequence(F.lit(1), F.greatest((ln - (n - 1)) - (w - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(hashes, i, w)),
-    )
-    return df.withColumn(
-        out,
-        F.when(ln >= n + w - 1, F.array_sort(F.array_distinct(sel)))
-        .otherwise(F.array().cast("array<bigint>")),
-    )
+    if engine == "jvm":
+        t = F.col(tokens_col)
+        ln = F.size(t)
+        grams = F.transform(
+            F.sequence(F.lit(1), ln - (n - 1)),
+            lambda i: sum(
+                [F.element_at(t, i + k).cast("long") * (VOCAB ** (n - 1 - k)) for k in range(n)],
+                F.lit(0).cast("long"),
+            ),
+        )
+        hashes = F.transform(grams, lambda g: mix32_col(g))
+        # greatest(...,1): sequence(1, x<=0) would generate DESCENDING indices
+        # (slice(start=0) raises even in the untaken when-branch under some
+        # codegen paths); the outer length guard discards the clamped result
+        sel = F.transform(
+            F.sequence(F.lit(1), F.greatest((ln - (n - 1)) - (w - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(hashes, i, w)),
+        )
+        return df.withColumn(
+            out,
+            F.when(ln >= n + w - 1, F.array_sort(F.array_distinct(sel)))
+            .otherwise(F.array().cast("array<bigint>")),
+        )
+    if engine != "arrow":
+        raise ValueError(f"unknown engine {engine!r}")
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import arrow_udf
+
+    KNUTH, M32, M16 = 2654435761, 1 << 32, 1 << 16
+
+    @arrow_udf(T.ArrayType(T.LongType(), containsNull=False))
+    def _wf(arr: pa.Array) -> pa.Array:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        nrows = len(arr)
+        off = arr.offsets.to_numpy().astype(np.int64)
+        base, stop = off[0], off[-1]
+        vals = arr.values.to_numpy(zero_copy_only=False)[base:stop].astype(np.int64)
+        starts = off[:-1] - base
+        lens = off[1:] - off[:-1]
+        if arr.null_count:
+            # null rows: offsets may still advance — treat as length 0 (the
+            # JVM form yields an empty array for null tokens too)
+            lens = np.where(arr.is_valid().to_numpy(zero_copy_only=False), lens, 0)
+        # windows per doc; gram index space = token flat index (last n-1
+        # positions of each doc hold cross-doc garbage, never selected)
+        nw = np.maximum(lens - (n - 1) - (w - 1), 0)
+        total = int(nw.sum())
+        if total == 0 or len(vals) < n + w - 1:
+            empty_off = np.zeros(nrows + 1, dtype=np.int32)
+            return pa.ListArray.from_arrays(
+                pa.array(empty_off), pa.array([], type=pa.int64())
+            )
+        p = np.zeros(len(vals) - (n - 1), dtype=np.int64)
+        for k in range(n):
+            p += vals[k: len(vals) - (n - 1) + k] * (VOCAB ** (n - 1 - k))
+        h = p % M32  # packed grams are non-negative: pmod == %
+        h = ((h % M16) * KNUTH + (h // M16 * KNUTH % M16) * M16) % M32
+        m = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+        sel_starts = np.repeat(starts, nw)
+        csum = np.concatenate(([0], np.cumsum(nw)))[:-1]
+        idx = sel_starts + (np.arange(total) - np.repeat(csum, nw))
+        sel = m[idx]
+        doc = np.repeat(np.arange(nrows, dtype=np.int64), nw)
+        order = np.lexsort((sel, doc))
+        d2, v2 = doc[order], sel[order]
+        keep = np.empty(total, dtype=bool)
+        keep[0] = True
+        keep[1:] = (d2[1:] != d2[:-1]) | (v2[1:] != v2[:-1])
+        d3, v3 = d2[keep], v2[keep]
+        counts = np.bincount(d3, minlength=nrows)
+        out_off = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
+        return pa.ListArray.from_arrays(pa.array(out_off), pa.array(v3))
+
+    return df.withColumn(out, _wf(F.col(tokens_col)))
 
 
 def winnow_pairs(
@@ -1026,6 +1091,7 @@ def winnow_pairs(
     w: int = 4,
     min_shared: int = 1,
     max_fp_freq: int | None = None,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Candidate near-dup pairs by shared winnowing fingerprints — the
     MOSS matching step as an inverted-index equi-join (never all-pairs):
@@ -1034,7 +1100,7 @@ def winnow_pairs(
     ``jaccard_pairs``' hot-shingle cap (fan-out ≤ F² per key); the shared
     count then undercounts by the dropped hot fingerprints (lower bound).
     Returns (doc_a, doc_b, shared_fp, fp_a, fp_b)."""
-    fp = winnow_fingerprints(df, tokens_col, n, w).select(
+    fp = winnow_fingerprints(df, tokens_col, n, w, engine=engine).select(
         F.col(id_col), F.col("fps"), F.size("fps").alias("fp_size")
     )
     inv = fp.select(id_col, "fp_size", F.explode("fps").alias("fpv"))

@@ -1285,3 +1285,31 @@ class TestDedupKeepBest:
             df, "tokens", "doc_id", num_perms=8, rows_per_band=4
         ).collect()}
         assert kept_minid == {0, 3}
+
+
+def test_winnow_engines_agree(spark):
+    """Arrow kernel ≡ JVM expression form, including short docs, empty and
+    null token arrays, and repeated values within a window."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+    ])
+    rows = [
+        (0, [1, 2, 3, 4, 5, 6, 7, 8, 9]),
+        (1, [5, 5, 5, 5, 5, 5, 5]),          # constant: one fingerprint
+        (2, [1, 2, 3]),                       # shorter than n+w-1
+        (3, []),
+        (4, None),
+        (5, list(range(100, 160))),
+        (6, [9, 8, 7, 6, 5, 4, 3, 2, 1]),
+    ]
+    df = spark.createDataFrame(rows, sch).repartition(3)
+    a = {r.doc_id: list(r.fps) for r in
+         dd.winnow_fingerprints(df, "tokens", 3, 4, engine="arrow").select("doc_id", "fps").collect()}
+    j = {r.doc_id: list(r.fps) for r in
+         dd.winnow_fingerprints(df, "tokens", 3, 4, engine="jvm").select("doc_id", "fps").collect()}
+    assert a == j, {k: (a[k], j[k]) for k in a if a[k] != j[k]}
+    assert a[2] == [] and a[3] == [] and a[4] == []
+    assert len(a[1]) == 1

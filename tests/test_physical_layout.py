@@ -405,8 +405,10 @@ def test_source_overlap_single_corpus_exchange(spark):
 
 def test_winnow_pairs_plan_is_equi_join(spark):
     """Winnowing candidate pairs join the inverted index on fingerprint id
-    (shuffle-hash equi-join) — never all-pairs, never sort-merge, zero
-    Python nodes; the fingerprint selection is pure array codegen."""
+    (shuffle-hash equi-join) — never all-pairs, never sort-merge. The
+    fingerprint selection is the Arrow-batched numpy kernel (ArrowEval
+    nodes allowed; row-at-a-time BatchEvalPython never); the jvm
+    expression engine plans with zero Python nodes."""
     from opentelemetry_collector_contrib_spark.operators.dedup import winnow_pairs
 
     df = spark.createDataFrame(
@@ -417,4 +419,8 @@ def test_winnow_pairs_plan_is_equi_join(spark):
     plan = _executed_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan, plan[:2000]
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+    plan_jvm = _executed_plan(winnow_pairs(df, "doc_id", "tokens", 3, 4, engine="jvm"))
+    assert "ArrowEvalPython" not in plan_jvm and "BatchEvalPython" not in plan_jvm
+    assert "SortMergeJoin" not in plan_jvm
