@@ -3927,6 +3927,41 @@ ORDER BY doc_id
 _SQL_DEDUP_KEEP_LONGEST = _dedup_keep_longest_sql()
 
 
+_INCR_SPLIT = 250
+
+
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the production crawl-ingest pattern:
+    the 'new dump' (doc_id ≥ {split}) dedups within itself AND against the
+    hash table accumulated from the already-ingested half, without
+    touching prior payloads. The oracle checks the same result by content
+    equality (hash collisions are the documented n²/2¹²⁹ bound)."""
+    from .operators.dedup import incremental_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    _, seen_h = incremental_dedup(
+        docs.filter(F.col("doc_id") < _INCR_SPLIT), None, ["text"], "doc_id"
+    )
+    kept, _ = incremental_dedup(
+        docs.filter(F.col("doc_id") >= _INCR_SPLIT), seen_h, ["text"], "doc_id"
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+_SQL_INCREMENTAL = f"""
+WITH seen AS (
+  SELECT DISTINCT text FROM documents WHERE doc_id < {_INCR_SPLIT}
+), firsts AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents WHERE doc_id >= {_INCR_SPLIT} GROUP BY text
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM firsts)
+  AND d.text NOT IN (SELECT text FROM seen)
+ORDER BY doc_id
+"""
+
+
 _TEMP_TARGET = 150
 _TEMP_SEED = 5
 
@@ -4120,4 +4155,5 @@ REGISTRY: list[Query] = [
     Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
     Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
     Query("dedup_keep_longest", _q_dedup_keep_longest, _SQL_DEDUP_KEEP_LONGEST),
+    Query("incremental_dedup", _q_incremental_dedup, _SQL_INCREMENTAL),
 ]

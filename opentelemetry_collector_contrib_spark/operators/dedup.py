@@ -1240,3 +1240,53 @@ def dedup_keep_best(
     if losers.count() <= broadcast_max_ids:
         losers = F.broadcast(losers)
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_hashes: DataFrame | None,
+    content_cols: list[str],
+    id_col: str,
+    method: str = "xxhash128",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental (delta) exact dedup — THE production crawl-ingest
+    pattern: each new shard/dump dedups (a) within itself (min-id per
+    content, `exact_dedup` semantics) and (b) against the accumulated
+    hash table of everything already ingested, WITHOUT touching prior
+    payloads. ``seen_hashes`` is the persisted corpus-state table of
+    content-hash columns from previous batches (None/empty for the first
+    batch); at 100 TB it is the only state the pipeline carries forward —
+    16-32 B per historic doc instead of the docs themselves.
+
+    Physical shape: the new batch computes hashes in-scan; the within-
+    batch dedup shuffles (hash, id) only (`exact_dedup`); the against-seen
+    check is an anti-join keyed on the hash columns — broadcast when the
+    new batch is the small side of a daily increment, shuffle-hash
+    against a same-scale backlog. Payloads never join anything.
+
+    Returns (kept_rows, their_hash_rows) — append the second to the seen
+    table after committing the first (the checkpoint-then-data ordering
+    is the caller's exactly-once protocol, see plans/checkpoint.py).
+    """
+    if method == "xxhash128":
+        cols = [F.col(c) for c in content_cols]
+        keys = {
+            "__h1": F.xxhash64(*cols),
+            "__h2": F.xxhash64(F.lit(17), *cols),
+        }
+    elif method == "sha256":
+        keys = {
+            "__h1": F.sha2(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]),
+                256,
+            )
+        }
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    key_names = list(keys)
+    within = exact_dedup(new_df, content_cols, id_col, method=method)
+    hashed = within.withColumns(keys)
+    if seen_hashes is not None:
+        hashed = hashed.join(seen_hashes, on=key_names, how="left_anti")
+    kept = hashed.drop(*key_names)
+    return kept, hashed.select(*key_names)

@@ -1313,3 +1313,29 @@ def test_winnow_engines_agree(spark):
     assert a == j, {k: (a[k], j[k]) for k in a if a[k] != j[k]}
     assert a[2] == [] and a[3] == [] and a[4] == []
     assert len(a[1]) == 1
+
+
+class TestIncrementalDedup:
+    def test_within_and_against_seen(self, spark):
+        batch1 = spark.createDataFrame(
+            [(0, "aaa"), (1, "bbb"), (2, "aaa")], "doc_id long, text string"
+        )
+        kept1, seen1 = dd.incremental_dedup(batch1, None, ["text"], "doc_id")
+        assert {r.doc_id for r in kept1.collect()} == {0, 1}  # within-batch min-id
+        assert seen1.count() == 2
+
+        batch2 = spark.createDataFrame(
+            [(10, "bbb"), (11, "ccc"), (12, "ccc"), (13, "aaa")],
+            "doc_id long, text string",
+        )
+        kept2, seen2 = dd.incremental_dedup(batch2, seen1, ["text"], "doc_id")
+        # bbb and aaa already seen; ccc dedups within batch 2 to min-id 11
+        assert {r.doc_id for r in kept2.collect()} == {11}
+        assert seen2.count() == 1
+        # state accumulates: a third batch of all-seen content keeps nothing
+        seen_all = seen1.union(seen2)
+        batch3 = spark.createDataFrame(
+            [(20, "ccc"), (21, "aaa")], "doc_id long, text string"
+        )
+        kept3, _ = dd.incremental_dedup(batch3, seen_all, ["text"], "doc_id")
+        assert kept3.count() == 0
