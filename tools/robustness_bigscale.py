@@ -259,6 +259,45 @@ def run_kmeans(spark) -> dict:
     }
 
 
+def run_boilerplate(spark) -> dict:
+    """Round-4 op: per-source boilerplate strip at 100M rows, same
+    8-token line rendering as line_dedup (cap 32 → ~4 lines/doc,
+    ~400M lines through the two line-keyed doc-frequency exchanges +
+    the strip join + the id reassembly)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.dedup import (
+        boilerplate_strip,
+    )
+
+    t = _tokens(spark, CAP_TOKENS)
+    nlines = F.ceil(F.size("tokens") / LINE_TOKENS).cast("int")
+    lined = t.select(
+        "doc_id", "source",
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sequence(F.lit(0), nlines - 1),
+                lambda j: F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.slice("tokens", j * LINE_TOKENS + 1, LINE_TOKENS),
+                        lambda x: x.cast("string"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    out = boilerplate_strip(lined, "doc_id", "text", "source",
+                            frac_num=1, frac_den=1000, min_docs=2)
+    row = out.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_kept").alias("kept"),
+    ).collect()[0]
+    return {"docs": row["docs"], "lines": row["lines"], "kept": row["kept"]}
+
+
 def run_source_overlap(spark) -> dict:
     """Round-4 op: cross-source contamination matrix at 100M rows.
 
@@ -318,6 +357,7 @@ OPS = {
     "kmeans_train": (run_kmeans, None),
     "source_overlap": (run_source_overlap, OVERLAP_CAP),
     "winnow_pairs": (run_winnow, WINNOW_CAP),
+    "boilerplate_strip": (run_boilerplate, CAP_TOKENS),
 }
 
 
