@@ -3927,6 +3927,41 @@ ORDER BY doc_id
 _SQL_DEDUP_KEEP_LONGEST = _dedup_keep_longest_sql()
 
 
+_CHUNK_W, _CHUNK_S = 64, 48
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/long-context sliding-window chunking: {_CHUNK_W}-token chunks
+    every {_CHUNK_S} tokens with provenance (doc_id, chunk_idx), tail
+    kept. Zero-shuffle per-row arrays; chunk token values hash-checked."""
+    from .operators.packing import chunk_documents
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return chunk_documents(
+        toks, "tokens", "doc_id", window=_CHUNK_W, stride=_CHUNK_S
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_SQL_CHUNK = _SQL_BASE + f"""
+, k AS (
+  SELECT doc_id, tokens,
+         CASE WHEN len(tokens) <= {_CHUNK_W} THEN 1
+              ELSE CAST((len(tokens) - {_CHUNK_W} + {_CHUNK_S} - 1) // {_CHUNK_S} AS INT) + 1
+         END AS nk
+  FROM base WHERE len(tokens) > 0
+), ex AS (
+  SELECT doc_id, CAST(g.i AS INT) AS chunk_idx,
+         tokens[(g.i*{_CHUNK_S}+1):(g.i*{_CHUNK_S}+{_CHUNK_W})] AS chunk_tokens
+  FROM k, LATERAL (SELECT UNNEST(range(0, nk)) AS i) g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx, chunk_tokens,
+       CAST(len(chunk_tokens) AS INT) AS chunk_len
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+
 _INCR_SPLIT = 250
 
 
@@ -4156,4 +4191,5 @@ REGISTRY: list[Query] = [
     Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
     Query("dedup_keep_longest", _q_dedup_keep_longest, _SQL_DEDUP_KEEP_LONGEST),
     Query("incremental_dedup", _q_incremental_dedup, _SQL_INCREMENTAL),
+    Query("chunk_documents", _q_chunk_documents, _SQL_CHUNK),
 ]

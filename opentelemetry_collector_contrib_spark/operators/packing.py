@@ -106,3 +106,47 @@ def deterministic_shuffle(
         .withColumn(pos_out, (F.row_number().over(w) - 1).cast("long"))
         .drop("__mix")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping sliding-window chunking — the RAG / long-context
+    preprocessing step (split each document into `window`-token chunks
+    every `stride` tokens, overlap = window − stride, keep provenance):
+    chunk k of a doc covers tokens [k·stride+1, k·stride+window]. A doc of
+    length L yields K = 1 chunk if L ≤ window else ⌈(L−window)/stride⌉+1
+    (the last chunk may be shorter — the tail is kept, standard RAG
+    practice). Empty docs yield no chunks.
+
+    Pure array expressions + posexplode, zero shuffles: per-row compute
+    only, so it composes into any scan stage at 100 TB. Contrast with
+    ``pack_sequences`` (concat-then-chunk across docs, for pretraining
+    batches): chunking preserves doc boundaries and provenance.
+    """
+    t = F.col(tokens_col)
+    ln = F.size(t)
+    # ceil((L-window)/stride) in pure integer arithmetic (positive operands
+    # → div truncation == floor; no float division to misround)
+    k = F.when(ln <= window, F.lit(1)).otherwise(
+        F.expr(
+            f"cast((size({tokens_col}) - {window} + {stride} - 1) div {stride} as int) + 1"
+        )
+    )
+    from pyspark.sql import types as T
+
+    chunks = F.when(
+        ln > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.slice(t, i * stride + 1, window),
+        ),
+    ).otherwise(F.array().cast(T.ArrayType(df.schema[tokens_col].dataType)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_tokens"),
+    ).withColumn("chunk_len", F.size("chunk_tokens").cast("int"))

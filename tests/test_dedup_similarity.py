@@ -1339,3 +1339,30 @@ class TestIncrementalDedup:
         )
         kept3, _ = dd.incremental_dedup(batch3, seen_all, ["text"], "doc_id")
         assert kept3.count() == 0
+
+
+class TestChunkDocuments:
+    def test_windows_strides_and_tail(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.packing import (
+            chunk_documents,
+        )
+
+        rows = [
+            Row(doc_id=0, tokens=list(range(10))),   # w=4,s=3 → 3 chunks, tail len 4
+            Row(doc_id=1, tokens=[1, 2]),            # shorter than window → 1 chunk
+            Row(doc_id=2, tokens=[]),                # empty → no chunks
+            Row(doc_id=3, tokens=list(range(11))),   # ceil((11-4)/3)+1 = 4 chunks
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        out = {}
+        for r in chunk_documents(df, "tokens", "doc_id", window=4, stride=3).collect():
+            out.setdefault(r.doc_id, []).append((r.chunk_idx, list(r.chunk_tokens)))
+        assert out[0] == [(0, [0, 1, 2, 3]), (1, [3, 4, 5, 6]), (2, [6, 7, 8, 9])]
+        assert out[1] == [(0, [1, 2])]
+        assert 2 not in out
+        assert [c for _, c in out[3]][-1] == [9, 10]  # kept tail, shorter
+        assert len(out[3]) == 4
+        # every token of every doc is covered by at least one chunk
+        for d, chs in out.items():
+            toks = {t for _, c in chs for t in c}
+            assert toks == set(dict(rows[d].asDict())["tokens"]) or d == 1
