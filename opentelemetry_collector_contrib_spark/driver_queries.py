@@ -1160,7 +1160,7 @@ WITH words AS (
   SELECT doc_id, g.i AS pos,
          array_to_string(ws[(g.i*{_LINE_WORDS}+1):(g.i*{_LINE_WORDS}+{_LINE_WORDS})], ' ') AS line
   FROM words,
-       LATERAL (SELECT UNNEST(range(0, CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT))) AS i) g
+       LATERAL (SELECT UNNEST(range(0, greatest(CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT), 1))) AS i) g
 ), ranked AS (
   SELECT doc_id, pos, line,
          ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rk
@@ -3846,7 +3846,7 @@ WITH words AS (
   SELECT doc_id, source, g.i AS pos,
          array_to_string(ws[(g.i*{_LINE_WORDS}+1):(g.i*{_LINE_WORDS}+{_LINE_WORDS})], ' ') AS line
   FROM words,
-       LATERAL (SELECT UNNEST(range(0, CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT))) AS i) g
+       LATERAL (SELECT UNNEST(range(0, greatest(CAST(ceil(len(ws)/{_LINE_WORDS}.0) AS INT), 1))) AS i) g
 ), df_docs AS (
   SELECT source, line, COUNT(DISTINCT doc_id) AS dfd FROM lines GROUP BY 1, 2
 ), src_docs AS (

@@ -37,6 +37,46 @@ PERM_B = [334205349, 1823397521, 92898311, 1375333757, 513935479, 1724586217,
           1604650219, 441862103, 1149975929, 717367289]
 
 
+def _flatten_list_batch(arr: "pa.Array"):
+    """Shared Arrow-kernel prologue for list<int> batches: combine chunks,
+    restrict the (possibly shared/unsliced) child values to this batch's
+    span, and return ``(arr, vals, starts, lens, nulls)`` where starts/lens
+    index the flattened vals per row and ``nulls`` is the boolean
+    row-validity mask (None when the batch has no nulls). A null row's
+    offsets may still advance — callers must mask its values out of any
+    segment reduce (minhash) or zero its length (winnow)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = arr.offsets.to_numpy().astype(np.int64)
+    base, stop = off[0], off[-1]
+    vals = arr.values.to_numpy(zero_copy_only=False)[base:stop]
+    starts = off[:-1] - base
+    lens = off[1:] - off[:-1]
+    nulls = (
+        arr.is_valid().to_numpy(zero_copy_only=False) if arr.null_count else None
+    )
+    return arr, vals, starts, lens, nulls
+
+
+def _content_hash_cols(content_cols: list[str], method: str) -> list[Column]:
+    """The content-hash key columns (aliased __h1[, __h2]) — shared by
+    exact_dedup and incremental_dedup so the within-batch dedup and the
+    cross-batch seen-hash table can never drift apart (a divergence would
+    silently re-admit previously-ingested content)."""
+    if method == "sha256":
+        h = F.sha2(
+            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256
+        )
+        return [h.alias("__h1")]
+    if method == "xxhash128":
+        cols = [F.col(c) for c in content_cols]
+        return [
+            F.xxhash64(*cols).alias("__h1"),
+            F.xxhash64(F.lit(17), *cols).alias("__h2"),
+        ]
+    raise ValueError(f"unknown method {method!r}")
+
+
 def exact_dedup(
     df: DataFrame,
     content_cols: list[str],
@@ -60,19 +100,7 @@ def exact_dedup(
     `broadcast_max_ids` rows on the driver (~16 B/id; lower it if driver
     memory is tight — oversized dup sets degrade gracefully to the
     one-payload-shuffle sort-merge join, the floor for that regime)."""
-    if method == "sha256":
-        h = F.sha2(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]), 256
-        )
-        keys = [h.alias("__h1")]
-    elif method == "xxhash128":
-        cols = [F.col(c) for c in content_cols]
-        keys = [
-            F.xxhash64(*cols).alias("__h1"),
-            F.xxhash64(F.lit(17), *cols).alias("__h2"),
-        ]
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    keys = _content_hash_cols(content_cols, method)
     key_names = ["__h1", "__h2"][: len(keys)]
     # Shuffle ONLY (hash, id): window the projected pair, rn>1 → duplicate
     # ids, anti-join those back on id. The big shuffle carries 16-24 B/row
@@ -165,19 +193,12 @@ def minhash_signature(
 
     @arrow_udf(out_schema)
     def _mh(arr: pa.Array) -> pa.Array:
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr, vals, starts, lens, nulls = _flatten_list_batch(arr)
         n = len(arr)
-        off = arr.offsets.to_numpy().astype(np.int64)
-        base, stop = off[0], off[-1]
-        # child values are shared/unsliced; restrict to this batch's span
-        vals = arr.values.to_numpy(zero_copy_only=False)[base:stop]
-        starts = off[:-1] - base
-        lens = off[1:] - off[:-1]
         valid = lens > 0
         drop = None
-        if arr.null_count:
-            valid &= arr.is_valid().to_numpy(zero_copy_only=False)
+        if nulls is not None:
+            valid &= nulls
             # a null entry with non-equal offsets would otherwise leak its
             # values into the preceding valid segment's reduce span — mark
             # them so each perm's hashes are overwritten with a sentinel
@@ -940,9 +961,9 @@ def source_overlap(
     diagonal (a,a), so a single tiny aggregation (≤ |sources|² rows after
     partial agg) yields both the pairwise intersections (a<b) AND the
     per-source set sizes (the diagonal: |{sg : a ∈ srcs(sg)}| = |S_a|).
-    That counts table is persisted — it is consumed three times (inter +
-    two size joins) and without the persist each consumer would replay the
-    corpus exchange. Sizes re-join by broadcast. No inverted-index
+    That counts table is localCheckpoint-materialized — it is consumed
+    three times (inter + two size joins) and lazily each consumer would
+    replay the corpus exchange. Sizes re-join by broadcast. No inverted-index
     self-join of two corpus-size sides is ever planned.
 
     Returns (src_a, src_b, inter_size, union_size, size_a, size_b), one
@@ -950,7 +971,12 @@ def source_overlap(
     jaccard = inter/union left to the caller to keep the columns
     engine-exact.
     """
-    counts = source_pair_counts(df, source_col, tokens_col, n).persist()
+    # localCheckpoint (not persist): materializes once for the three
+    # consumers AND leaves no session-lifetime cache entry behind — the
+    # returned DataFrame holds the only reference (exact_dedup precedent)
+    counts = source_pair_counts(df, source_col, tokens_col, n).localCheckpoint(
+        eager=True
+    )
     inter = counts.filter(F.col("src_a") < F.col("src_b")).withColumnRenamed(
         "cnt", "inter_size"
     )
@@ -1038,18 +1064,13 @@ def winnow_fingerprints(
 
     @arrow_udf(T.ArrayType(T.LongType(), containsNull=False))
     def _wf(arr: pa.Array) -> pa.Array:
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
+        arr, vals, starts, lens, nulls = _flatten_list_batch(arr)
         nrows = len(arr)
-        off = arr.offsets.to_numpy().astype(np.int64)
-        base, stop = off[0], off[-1]
-        vals = arr.values.to_numpy(zero_copy_only=False)[base:stop].astype(np.int64)
-        starts = off[:-1] - base
-        lens = off[1:] - off[:-1]
-        if arr.null_count:
+        vals = vals.astype(np.int64)
+        if nulls is not None:
             # null rows: offsets may still advance — treat as length 0 (the
             # JVM form yields an empty array for null tokens too)
-            lens = np.where(arr.is_valid().to_numpy(zero_copy_only=False), lens, 0)
+            lens = np.where(nulls, lens, 0)
         # windows per doc; gram index space = token flat index (last n-1
         # positions of each doc hold cross-doc garbage, never selected)
         nw = np.maximum(lens - (n - 1) - (w - 1), 0)
@@ -1268,24 +1289,10 @@ def incremental_dedup(
     table after committing the first (the checkpoint-then-data ordering
     is the caller's exactly-once protocol, see plans/checkpoint.py).
     """
-    if method == "xxhash128":
-        cols = [F.col(c) for c in content_cols]
-        keys = {
-            "__h1": F.xxhash64(*cols),
-            "__h2": F.xxhash64(F.lit(17), *cols),
-        }
-    elif method == "sha256":
-        keys = {
-            "__h1": F.sha2(
-                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in content_cols]),
-                256,
-            )
-        }
-    else:
-        raise ValueError(f"unknown method {method!r}")
-    key_names = list(keys)
+    keys = _content_hash_cols(content_cols, method)
+    key_names = ["__h1", "__h2"][: len(keys)]
     within = exact_dedup(new_df, content_cols, id_col, method=method)
-    hashed = within.withColumns(keys)
+    hashed = within.select("*", *keys)
     if seen_hashes is not None:
         hashed = hashed.join(seen_hashes, on=key_names, how="left_anti")
     kept = hashed.drop(*key_names)

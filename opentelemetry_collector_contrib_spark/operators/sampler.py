@@ -72,6 +72,12 @@ def mixture_sample(
     )
 
 
+def _rates_schema(df: DataFrame, domain_col: str):
+    from pyspark.sql import types as T
+
+    return T.StructType([df.schema[domain_col], T.StructField("__rate", T.DoubleType())])
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     domain_col: str,
@@ -92,30 +98,36 @@ def temperature_mixture_sample(
     rate divides exact integers as identically-ordered double ops. The keep
     decision is the deterministic 14-bit sampler bucket.
 
-    Physical shape: one tiny per-domain count aggregate; the normalizer
-    Σ floor(√n_d) is a 1-row driver-side collect of that |domains|-bounded
-    table (the ``dsir_scores`` totals pattern — a constant-key join back
-    would constant-fold into the BroadcastNestedLoopJoin the plan
-    discipline bans, and an unpartitioned window warns; exact integer
-    state, not data); rates broadcast back onto the corpus; the filter is
-    whole-stage codegen. Same plan family as ``mixture_sample``."""
+    Physical shape: ONE tiny per-domain count aggregate, collected once
+    (|domains| rows — the ``dsir_scores`` bounded-state pattern; a
+    constant-key join back would constant-fold into the
+    BroadcastNestedLoopJoin the plan discipline bans, and an unpartitioned
+    window warns). The per-domain rates are computed driver-side with the
+    SAME IEEE double ops the SQL oracle performs (exact ints < 2^53 →
+    identical doubles) and re-enter as a broadcast literal table, so the
+    corpus is scanned exactly once more for the codegen'd filter."""
     import math
 
-    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n"))
-    counts = counts.withColumn(
-        "__sq", F.floor(F.sqrt(F.col("__n").cast("double"))).cast("long")
-    )
-    norm = sum(
-        math.isqrt(r["__n"]) for r in counts.select("__n").collect()
-    )  # exact: floor(sqrt(double n)) == isqrt(n) for n < 2^52
+    rows = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+    # exact: floor(sqrt(double n)) == isqrt(n) for n < 2^52
+    sq = {r[domain_col]: math.isqrt(r["__n"]) for r in rows}
+    norm = sum(sq.values())
     if norm == 0:
         raise ValueError("temperature_mixture_sample: empty input")
-    rate = F.least(
-        F.lit(100.0),
-        (F.col("__sq") * F.lit(int(target_total))).cast("double") * F.lit(100.0)
-        / (F.lit(float(norm)) * F.col("__n").cast("double")),
+    rates = df.sparkSession.createDataFrame(
+        [
+            (
+                r[domain_col],
+                min(
+                    100.0,
+                    float(sq[r[domain_col]] * int(target_total)) * 100.0
+                    / (float(norm) * float(r["__n"])),
+                ),
+            )
+            for r in rows
+        ],
+        _rates_schema(df, domain_col),
     )
-    rates = counts.select(F.col(domain_col), rate.alias("__rate"))
     return (
         df.join(F.broadcast(rates), on=domain_col)
         .filter(sampler_keep_col(key, F.col("__rate"), seed=seed))

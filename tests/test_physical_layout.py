@@ -376,11 +376,9 @@ def test_source_overlap_single_corpus_exchange(spark):
     """source_overlap's heavy stage (source_pair_counts) plans exactly two
     exchanges — the corpus-scale groupBy(shingle) and the
     |sources|²-bounded pair rollup; the final assembly reads that stage
-    from cache (3 InMemoryTableScans: inter + two size joins) and joins
-    sizes by broadcast. No self-join of corpus-size sides, no Python
-    nodes. (Exchange counts are asserted on the UN-cached stage plan —
-    InMemoryRelation reprints its cached subtree per consumer, so string
-    counts over the final plan overstate real exchanges.)"""
+    from its eager localCheckpoint (materialized RDD scans, no re-planned
+    exchanges at all) and joins sizes by broadcast. No self-join of
+    corpus-size sides, no Python nodes."""
     from opentelemetry_collector_contrib_spark.operators.dedup import (
         source_overlap,
         source_pair_counts,
@@ -398,7 +396,7 @@ def test_source_overlap_single_corpus_exchange(spark):
 
     out = source_overlap(df, "source", "tokens", 3)
     full = _executed_plan(out)
-    assert full.count("InMemoryTableScan") == 3, full[:3000]
+    assert "Exchange hashpartitioning" not in full, full[:3000]
     assert full.count("BroadcastHashJoin") == 2, full[:3000]
     assert "SortMergeJoin" not in full and "BroadcastNestedLoopJoin" not in full
 
