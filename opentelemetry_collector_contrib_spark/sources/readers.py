@@ -48,11 +48,23 @@ def read_log_lines(
             spark.read.format("binaryFile").load(path)
             .select("path", "length").collect()
         )
-        big = [r.path for r in meta if int(r.length) > max_file_bytes]
+        # compressed files decompress transparently through the wholetext
+        # path (Hadoop codecs by extension) but can NEVER go to the
+        # byte-range chunked reader — gzip is non-splittable in any engine,
+        # and a range read would return raw compressed bytes. A multi-GB
+        # .gz therefore stays on the wholetext path regardless of size
+        # (its decompressed form must fit one task — a format property).
+        compressed = (".gz", ".bz2", ".deflate")
+        big = [
+            r.path for r in meta
+            if int(r.length) > max_file_bytes
+            and not r.path.endswith(compressed)
+        ]
         if big:
+            big_set = set(big)
             small = [
                 r.path for r in meta
-                if 0 < int(r.length) <= max_file_bytes
+                if int(r.length) > 0 and r.path not in big_set
             ]
             chunked = read_log_lines_chunked(
                 spark, big, chunk_bytes=min(max_file_bytes, 64 << 20),

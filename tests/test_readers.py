@@ -392,3 +392,35 @@ def test_journald_export(spark, tmp_path):
     # binary-valued field: string-coerced to raw JSON text; line preserved
     assert out[2].body["MESSAGE"] == "[104,105]"
     assert out[2].line == binary_line
+
+
+def test_read_log_lines_gzip(spark, tmp_path_factory):
+    """Gzipped log files decompress transparently (Hadoop codec by
+    extension) and NEVER route to the byte-range chunked reader — gzip is
+    non-splittable, a range read would return raw compressed bytes. A .gz
+    whose compressed size exceeds max_file_bytes stays on the wholetext
+    path; plain files mix freely in the same directory."""
+    import gzip
+
+    from opentelemetry_collector_contrib_spark.sources.readers import read_log_lines
+
+    d = tmp_path_factory.mktemp("gzlogs")
+    lines = [f"2024-01-01T00:00:{i:02d}Z INFO line-{i}" for i in range(50)]
+    with gzip.open(d / "a.log.gz", "wt") as f:
+        f.write("\n".join(lines) + "\n")
+    (d / "b.log").write_text("plain-0\nplain-1\n")
+
+    rows = read_log_lines(spark, str(d)).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file.rsplit("/", 1)[-1], []).append((r.offset, r.line))
+    assert [l for _, l in sorted(by_file["a.log.gz"])] == lines
+    assert [l for _, l in sorted(by_file["b.log"])] == ["plain-0", "plain-1"]
+
+    # a .gz larger than max_file_bytes must NOT be chunk-routed (content
+    # would be garbage); it stays wholetext and still reads correctly
+    rows2 = read_log_lines(spark, str(d), max_file_bytes=100).collect()
+    got = sorted(
+        (r.offset, r.line) for r in rows2 if r.file.endswith("a.log.gz")
+    )
+    assert [l for _, l in got] == lines
