@@ -1697,6 +1697,41 @@ SELECT * FROM gray UNION ALL SELECT * FROM rgb
 """
 
 
+def _q_flac_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed REAL FLAC round-trip (`operators/flac.py`: frames,
+    CRC-8/16, rice residuals, CONSTANT/VERBATIM/FIXED/LPC subframes —
+    pure python+numpy): token-derived int16 samples encode to genuine
+    multi-frame FLAC (even docs FIXED path, odd docs LPC path) and decode
+    back in the same mapInPandas pass. Lossless → the sample stats are
+    re-derivable from the tokens alone; samp_wsum pins frame order.
+    Compressed size excluded (not oracle-derivable)."""
+    from .operators.multimodal import flac_features_from_tokens
+
+    toks = _tokens_of_docs(spark, sf_dir).select(
+        row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
+    )
+    return flac_features_from_tokens(toks).select(
+        "media_id", "lpc", "n_samples", "n_frames", "samp_sum", "samp_wsum"
+    )
+
+
+_SQL_FLAC_FEATURES = _SQL_BASE + """
+, s AS (
+  SELECT doc_id AS media_id, (doc_id % 2 = 1) AS lpc,
+         CAST(len(tokens) AS INT) AS n_samples,
+         CAST((len(tokens) + 63) // 64 AS INT) AS n_frames,
+         CAST(list_sum(list_transform(range(1, len(tokens)+1),
+           j -> (tokens[j]*53) % 30000 - 15000)) AS BIGINT) AS samp_sum,
+         CAST(list_sum(list_transform(range(1, len(tokens)+1),
+           j -> ((tokens[j]*53) % 30000 - 15000) * j)) AS BIGINT) AS samp_wsum
+  FROM base
+)
+SELECT media_id, lpc, n_samples, n_frames,
+       COALESCE(samp_sum, 0) AS samp_sum, COALESCE(samp_wsum, 0) AS samp_wsum
+FROM s
+"""
+
+
 def _q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed REAL GIF round-trip (`operators/gif.py`: pure-python
     variable-width LZW, palettes, Appendix-E interlace — no PIL): even docs
@@ -4136,6 +4171,7 @@ REGISTRY: list[Query] = [
     Query("lsh_topk_multi", _q_lsh_topk_multi, _SQL_LSH_TOPK_MULTI),
     Query("media_features", _q_media_features, _SQL_MEDIA_FEATURES),
     Query("png_features", _q_png_features, _SQL_PNG_FEATURES),
+    Query("flac_features", _q_flac_features, _SQL_FLAC_FEATURES),
     Query("ottl_transform", _q_ottl_transform, _SQL_OTTL_TRANSFORM),
     Query("lag_delta", _q_lag_delta, _SQL_LAG_DELTA),
     Query("interval_last", _q_interval_last, _SQL_INTERVAL_LAST),

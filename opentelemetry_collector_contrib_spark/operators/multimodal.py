@@ -701,3 +701,51 @@ def frame_sample(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Data
     return df.select(
         "media_id", F.explode(frames).alias("frame_ms"), "mime"
     )
+
+
+FLAC_STATS_SCHEMA = (
+    "media_id long, lpc boolean, n_samples int, n_frames int, "
+    "n_flac_bytes int, samp_sum long, samp_wsum long"
+)
+
+
+def flac_features_from_tokens(
+    df: DataFrame, id_col: str = "doc_id", tokens_col: str = "tokens"
+) -> DataFrame:
+    """Oracle-checkable distributed FLAC round-trip (`operators/flac.py`:
+    pure python+numpy — frames, CRC-8/16, rice residuals, CONSTANT/
+    VERBATIM/FIXED/LPC subframes): each document's tokens become int16
+    samples ((t*53)%30000−15000), ENCODED to a genuine multi-frame FLAC
+    stream (even docs exercise the FIXED subframe path, odd docs the LPC
+    path) and DECODED back in the same mapInPandas pass. FLAC is lossless,
+    so the integer sample stats are re-derivable from the tokens alone —
+    the decode is correct iff the round-trip is the identity (samp_wsum
+    pins frame order and concatenation). n_flac_bytes (compressed size) is
+    NOT oracle-derivable and is excluded from the driver projection."""
+    from .flac import decode_flac, encode_flac
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, toks in zip(pdf[id_col], pdf[tokens_col]):
+                mid = int(mid)
+                t = np.asarray(toks, dtype=np.int64)
+                s = ((t * 53) % 30000 - 15000).astype(np.int16)
+                payload = encode_flac(s, 8000, block=64, use_lpc=mid % 2 == 1)
+                dec, rate = decode_flac(payload)
+                assert rate == 8000
+                ints = dec.astype(np.int64)
+                rows.append(dict(
+                    media_id=mid, lpc=mid % 2 == 1,
+                    n_samples=len(ints),
+                    n_frames=(len(ints) + 63) // 64,
+                    n_flac_bytes=len(payload),
+                    samp_sum=int(ints.sum()),
+                    samp_wsum=int((ints * np.arange(1, len(ints) + 1)).sum()),
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "lpc", "n_samples", "n_frames", "n_flac_bytes",
+                "samp_sum", "samp_wsum",
+            ])
+
+    return df.mapInPandas(gen, FLAC_STATS_SCHEMA)

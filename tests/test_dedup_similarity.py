@@ -1366,3 +1366,58 @@ class TestChunkDocuments:
         for d, chs in out.items():
             toks = {t for _, c in chs for t in c}
             assert toks == set(dict(rows[d].asDict())["tokens"]) or d == 1
+
+
+class TestFlacCodec:
+    """FLAC codec (operators/flac.py): exact round-trips across subframe
+    types, determinism, CRC corruption detection."""
+
+    def test_roundtrips_exact(self, spark):
+        from opentelemetry_collector_contrib_spark.operators import flac
+
+        rng = np.random.RandomState(7)
+        cases = {
+            "random": rng.randint(-20000, 20000, 1000).astype(np.int16),
+            "constant": np.full(300, -123, dtype=np.int16),   # CONSTANT subframe
+            "ramp": np.arange(-500, 500, dtype=np.int16),     # FIXED order 2
+            "sine": (10000 * np.sin(np.arange(777) / 10.0)).astype(np.int16),
+            "one": np.array([5], dtype=np.int16),
+            "empty": np.array([], dtype=np.int16),
+            "extremes": np.array([32767, -32768, 0, 1, -1] * 20, dtype=np.int16),
+        }
+        for name, x in cases.items():
+            for lpc in (False, True):
+                enc = flac.encode_flac(x, 8000, block=64, use_lpc=lpc)
+                dec, rate = flac.decode_flac(enc)
+                assert rate == 8000 and np.array_equal(dec, x), (name, lpc)
+                # byte-determinism (WebDataset shard reproducibility relies on it)
+                assert enc == flac.encode_flac(x, 8000, block=64, use_lpc=lpc)
+
+    def test_crc_detects_corruption(self, spark):
+        from opentelemetry_collector_contrib_spark.operators import flac
+
+        x = np.arange(-300, 300, dtype=np.int16)
+        enc = bytearray(flac.encode_flac(x, 8000))
+        enc[len(enc) // 2] ^= 0xFF
+        with pytest.raises(Exception):
+            flac.decode_flac(bytes(enc))
+
+    def test_distributed_roundtrip(self, spark):
+        from opentelemetry_collector_contrib_spark.operators.multimodal import (
+            flac_features_from_tokens,
+        )
+
+        df = spark.createDataFrame(
+            [(i, [(i * 11 + d) % 50257 for d in range(1 + (i * 29) % 150)])
+             for i in range(40)],
+            "doc_id long, tokens array<int>",
+        ).repartition(4)
+        rows = {r.media_id: r for r in flac_features_from_tokens(df).collect()}
+        assert len(rows) == 40
+        for i, r in rows.items():
+            toks = [(i * 11 + d) % 50257 for d in range(1 + (i * 29) % 150)]
+            s = [((t * 53) % 30000) - 15000 for t in toks]
+            assert r.n_samples == len(s)
+            assert r.samp_sum == sum(s)
+            assert r.samp_wsum == sum(v * (j + 1) for j, v in enumerate(s))
+            assert r.lpc == (i % 2 == 1)

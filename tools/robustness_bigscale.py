@@ -298,6 +298,25 @@ def run_boilerplate(spark) -> dict:
     return {"docs": row["docs"], "lines": row["lines"], "kept": row["kept"]}
 
 
+def run_chunking(spark) -> dict:
+    """Round-4 op: RAG sliding-window chunking at 100M full-length rows —
+    a zero-shuffle pure-map op; this run measures the scan+explode
+    throughput ceiling (the op adds no exchanges to size)."""
+    from pyspark.sql import functions as F
+
+    from opentelemetry_collector_contrib_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    t = _tokens(spark, None).select("doc_id", "tokens")
+    out = chunk_documents(t, "tokens", "doc_id", window=64, stride=48)
+    row = out.agg(
+        F.count(F.lit(1)).alias("chunks"),
+        F.sum("chunk_len").alias("chunk_tokens"),
+    ).collect()[0]
+    return {"chunks": row["chunks"], "chunk_tokens": row["chunk_tokens"]}
+
+
 def run_source_overlap(spark) -> dict:
     """Round-4 op: cross-source contamination matrix at 100M rows.
 
@@ -358,6 +377,7 @@ OPS = {
     "source_overlap": (run_source_overlap, OVERLAP_CAP),
     "winnow_pairs": (run_winnow, WINNOW_CAP),
     "boilerplate_strip": (run_boilerplate, CAP_TOKENS),
+    "chunk_documents": (run_chunking, None),
 }
 
 
