@@ -8,7 +8,8 @@ UDF signatures) is real and tested. Codec coverage is split honestly:
   chunk walk + ``zlib`` inflate + vectorized numpy unfilter of all five
   scanline filters), baseline JPEG (operators/jpeg: Annex K tables,
   canonical Huffman, matrix DCT — encoder AND decoder), and RIFF/PCM WAV
-  audio (stdlib ``wave``). ``decode_and_featurize_real`` runs them
+  audio (stdlib ``wave``) plus FLAC (operators/flac: frames, CRC-8/16,
+  rice residuals, CONSTANT/VERBATIM/FIXED/LPC subframes). ``decode_and_featurize_real`` runs them
   distributed over mapInPandas and extracts pixel/sample-domain features.
 - STUBBED codecs (MP3/H.264 — would need ffmpeg-class libraries, not in
   this container): dispatch raises NotImplementedError; ``fake=True``
@@ -383,8 +384,9 @@ REAL_FEATURE_SCHEMA = (
 def decode_and_featurize_real(df: DataFrame) -> DataFrame:
     """Distributed REAL decode: netpbm images and WAV audio parsed from
     their actual bytes inside mapInPandas (one Arrow batch at a time);
-    features come from the decoded pixel/sample domain. Mimes without a
-    pure-Python codec (audio/mpeg, video/*) raise NotImplementedError —
+    features come from the decoded pixel/sample domain (audio/flac routes
+    through the operators/flac decoder). Mimes without a pure-Python codec
+    (audio/mpeg, video/* outside the AVI path) raise NotImplementedError —
     the honest boundary of this container."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -410,8 +412,13 @@ def decode_and_featurize_real(df: DataFrame) -> DataFrame:
                              sample_rate=None, duration_ms=None,
                              feature=_image_feature(img))
                     )
-                elif mime in ("audio/wav", "audio/x-wav"):
-                    samples, rate = decode_wav(bytes(payload))
+                elif mime in ("audio/wav", "audio/x-wav", "audio/flac"):
+                    if mime == "audio/flac":
+                        from .flac import decode_flac
+                        ints, rate = decode_flac(bytes(payload))
+                        samples = ints.astype(np.float32) / 32768.0
+                    else:
+                        samples, rate = decode_wav(bytes(payload))
                     rows.append(
                         dict(media_id=mid, kind="audio", width=None, height=None,
                              sample_rate=rate,
