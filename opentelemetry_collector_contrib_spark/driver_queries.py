@@ -4130,6 +4130,56 @@ _SQL_WINNOW = _winnow_sql()
 
 
 REGISTRY: list[Query] = [
+    # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
+    # Block 1: the 41 queries with no driver-side correctness row through r04
+    # (each was green in the round-4 judge's independent check_oracles.py sweep).
+    # Block 2 (below the marker): round-5 additions, then the 57 queries already
+    # driver-green in CORRECTNESS_r01..r04, in their historical order.
+    # FROZEN at round-5 start: append new queries ONLY at the block-2 marker;
+    # never reorder after the driver sweep so correctness rows accumulate.
+    Query("pack_sequences", _q_pack_sequences, _SQL_PACK),
+    Query("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
+    Query("rep_stats", _q_rep_stats, _SQL_REP_STATS),
+    Query("mixture_sample", _q_mixture_sample, _SQL_MIXTURE),
+    Query("det_shuffle", _q_det_shuffle, _SQL_DET_SHUFFLE),
+    Query("line_dedup", _q_line_dedup, _SQL_LINE_DEDUP),
+    Query("dup_spans", _q_dup_spans, _SQL_DUP_SPANS),
+    Query("token_freq", _q_token_freq, _SQL_TOKEN_FREQ),
+    Query("curate_pipeline", _q_curate, _SQL_CURATE),
+    Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
+    Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
+    Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
+    Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
+    Query("gif_features", _q_gif_features, _SQL_GIF_FEATURES),
+    Query("decontaminate_bloom", _q_decontaminate_bloom, _SQL_DECONTAMINATE_BLOOM),
+    Query("range_join", _q_range_join, _SQL_RANGE_JOIN),
+    Query("cms_counts", _q_cms_counts, _SQL_CMS),
+    Query("dup_span_removal", _q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
+    Query("semdedup", _q_semdedup, _SQL_SEMDEDUP),
+    Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
+    Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
+    Query("bpe_learn", _q_bpe_learn, _SQL_BPE),
+    Query("hll_counts", _q_hll_counts, _SQL_HLL),
+    Query("bpe_encode", _q_bpe_encode, _SQL_BPE_ENC),
+    Query("dsir_select", _q_dsir_select, _SQL_DSIR),
+    Query("token_budget", _q_token_budget, _SQL_TOKEN_BUDGET),
+    Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
+    Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
+    Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
+    Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
+    Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
+    Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
+    Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
+    Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
+    Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
+    Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
+    Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
+    Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
+    Query("dedup_keep_longest", _q_dedup_keep_longest, _SQL_DEDUP_KEEP_LONGEST),
+    Query("incremental_dedup", _q_incremental_dedup, _SQL_INCREMENTAL),
+    Query("chunk_documents", _q_chunk_documents, _SQL_CHUNK),
+    # --- round-5 additions go here (must stay within the first 50 entries) ---
+    # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
     Query("parse_severity_vectorized", _q_parse_vectorized, _SQL_PARSE),
@@ -4185,47 +4235,6 @@ REGISTRY: list[Query] = [
     Query("percentiles", _q_percentiles, _SQL_PERCENTILES),
     Query("asof_join", _q_asof_join, _SQL_ASOF),
     Query("pretokenize", _q_pretokenize, _SQL_PRETOKENIZE),
-    Query("pack_sequences", _q_pack_sequences, _SQL_PACK),
-    Query("decontaminate", _q_decontaminate, _SQL_DECONTAMINATE),
-    Query("rep_stats", _q_rep_stats, _SQL_REP_STATS),
-    Query("mixture_sample", _q_mixture_sample, _SQL_MIXTURE),
-    Query("det_shuffle", _q_det_shuffle, _SQL_DET_SHUFFLE),
-    Query("line_dedup", _q_line_dedup, _SQL_LINE_DEDUP),
-    Query("dup_spans", _q_dup_spans, _SQL_DUP_SPANS),
-    Query("token_freq", _q_token_freq, _SQL_TOKEN_FREQ),
-    Query("curate_pipeline", _q_curate, _SQL_CURATE),
     Query("novelty_filter", _q_novelty_filter, _SQL_NOVELTY),
     Query("set_ops", _q_set_ops, _SQL_SET_OPS),
-    Query("tail_sample", _q_tail_sample, _SQL_TAIL_SAMPLE),
-    Query("pii_scrub", _q_pii_scrub, _SQL_PII_SCRUB),
-    Query("ivfpq_topk", _q_ivfpq_topk, _SQL_IVFPQ_TOPK),
-    Query("quality_classifier", _q_quality_classifier, _SQL_QUALITY_CLS),
-    Query("gif_features", _q_gif_features, _SQL_GIF_FEATURES),
-    Query("decontaminate_bloom", _q_decontaminate_bloom, _SQL_DECONTAMINATE_BLOOM),
-    Query("range_join", _q_range_join, _SQL_RANGE_JOIN),
-    Query("cms_counts", _q_cms_counts, _SQL_CMS),
-    Query("dup_span_removal", _q_dup_span_removal, _SQL_DUP_SPAN_REMOVAL),
-    Query("semdedup", _q_semdedup, _SQL_SEMDEDUP),
-    Query("bm25_topk", _q_bm25_topk, _SQL_BM25),
-    Query("lm_score", _q_lm_score, _SQL_LM_SCORE),
-    Query("bpe_learn", _q_bpe_learn, _SQL_BPE),
-    Query("hll_counts", _q_hll_counts, _SQL_HLL),
-    Query("bpe_encode", _q_bpe_encode, _SQL_BPE_ENC),
-    Query("dsir_select", _q_dsir_select, _SQL_DSIR),
-    Query("token_budget", _q_token_budget, _SQL_TOKEN_BUDGET),
-    Query("stratified_split", _q_stratified_split, _SQL_STRATIFIED),
-    Query("video_features", _q_video_features, _SQL_VIDEO_FEATURES),
-    Query("stream_neardup", _q_stream_neardup, _SQL_STREAM_NEARDUP),
-    Query("webdataset_sink", _q_webdataset, _SQL_WEBDATASET),
-    Query("expo_histogram", _q_expo_histogram, _SQL_EXPO_HIST),
-    Query("curriculum_order", _q_curriculum_order, _SQL_CURRICULUM),
-    Query("kmeans_train", _q_kmeans_train, _SQL_KMEANS),
-    Query("semdedup_trained", _q_semdedup_trained, _SQL_SEMDEDUP_TRAINED),
-    Query("source_overlap", _q_source_overlap, _SQL_SOURCE_OVERLAP),
-    Query("winnow_pairs", _q_winnow_pairs, _SQL_WINNOW),
-    Query("boilerplate_strip", _q_boilerplate, _SQL_BOILERPLATE),
-    Query("temp_mixture", _q_temp_mixture, _SQL_TEMP_MIXTURE),
-    Query("dedup_keep_longest", _q_dedup_keep_longest, _SQL_DEDUP_KEEP_LONGEST),
-    Query("incremental_dedup", _q_incremental_dedup, _SQL_INCREMENTAL),
-    Query("chunk_documents", _q_chunk_documents, _SQL_CHUNK),
 ]
