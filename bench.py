@@ -22,7 +22,15 @@ and sank the recorded 4→16 ratio to 0.666 while clean runs measured
 
 - before every pinned child, scan /proc for foreign JVMs / pyspark
   daemons (anything not descended from this bench) and wait for them to
-  exit (up to SPARK_GRAFT_CONTENTION_WAIT_S, default 600 s);
+  exit (per-scan cap SPARK_GRAFT_CONTENTION_WAIT_S, default 600 s);
+- ALL waiting — probe gates, foreign-proc scans, retry sleeps — draws on
+  ONE shared budget (SPARK_GRAFT_TOTAL_WAIT_BUDGET_S, default 300 s), and
+  the whole bench has a hard wall-clock deadline
+  (SPARK_GRAFT_BENCH_DEADLINE_S, default 2100 s) past which optional work
+  (extra rounds, retries) is skipped. When either limit trips, the bench
+  MEASURES ANYWAY and flags the final JSON line with "contended": true —
+  round-4 post-mortem: unbounded per-gate waits timed out the driver and
+  produced no line at all; a flagged number beats no number;
 - read the host steal counter from /proc/stat around every child; a
   sample whose steal share exceeds SPARK_GRAFT_MAX_STEAL (default 4 %)
   is contaminated — discard and re-run it (up to 2 retries);
@@ -121,9 +129,39 @@ CONTENTION_WAIT_S = int(os.environ.get("SPARK_GRAFT_CONTENTION_WAIT_S", "600"))
 PROBE_TOLERANCE = float(os.environ.get("SPARK_GRAFT_PROBE_TOLERANCE", "1.25"))
 
 _best_probe: float | None = None
-_probe_wait_spent = 0.0
-PROBE_WAIT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_PROBE_WAIT_BUDGET_S", "1200"))
+# ONE wait budget shared by every gate (probe waits + foreign-proc waits +
+# retry sleeps). Round-4 post-mortem: per-gate budgets (1200 s probe + 600 s
+# per foreign-proc scan + extra-round refunds) compounded past the driver's
+# wall clock and BENCH_r04.json came back rc=124 with no JSON line at all.
+# A flagged number beats no number: when the budget is gone, every gate
+# returns immediately, we measure anyway, and the final line carries
+# "contended": true.
+_wait_spent = 0.0
+TOTAL_WAIT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_TOTAL_WAIT_BUDGET_S", "300"))
+# Hard wall-clock deadline for the whole bench: once past it, optional work
+# (extra scaling rounds, contamination retries) is skipped so the final JSON
+# line is always emitted well inside the driver's timeout.
+BENCH_START = time.time()
+BENCH_DEADLINE_S = int(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE_S", "2100"))
 _PROBE_REF_FILE = os.path.join(TOKENS_CACHE, "probe_best.json")
+
+
+def _wait_left() -> float:
+    return TOTAL_WAIT_BUDGET_S - _wait_spent
+
+
+def _sleep_budgeted(sec: float) -> bool:
+    """Sleep only while shared wait budget remains; returns False if spent."""
+    global _wait_spent
+    if _wait_spent >= TOTAL_WAIT_BUDGET_S:
+        return False
+    time.sleep(sec)
+    _wait_spent += sec
+    return True
+
+
+def _past_deadline() -> bool:
+    return time.time() - BENCH_START > BENCH_DEADLINE_S
 
 
 def _load_probe_ref() -> None:
@@ -194,7 +232,7 @@ def _machine_quiet(events: list[str], phase: str) -> float:
     - BUDGET: a global (per-run) wait budget bounds total stall time.
 
     Returns the accepted probe seconds."""
-    global _best_probe, _probe_wait_spent, _session_ref
+    global _best_probe, _session_ref
     recent: list[float] = []
     while True:
         p = _cpu_probe()
@@ -221,18 +259,17 @@ def _machine_quiet(events: list[str], phase: str) -> float:
                 file=sys.stderr,
             )
             return p
-        if _probe_wait_spent >= PROBE_WAIT_BUDGET_S:
+        if _wait_spent >= TOTAL_WAIT_BUDGET_S or _past_deadline():
             events.append(f"probe_gave_up:{phase}:probe={p:.2f},best={ref:.2f}")
             return p
         events.append(f"probe_slow:{phase}:probe={p:.2f},best={ref:.2f}")
         print(
             f"bench: machine contended ({phase}: probe {p:.2f}s vs best "
             f"{ref:.2f}s) — waiting "
-            f"({int(PROBE_WAIT_BUDGET_S - _probe_wait_spent)}s budget left)",
+            f"({int(_wait_left())}s shared budget left)",
             file=sys.stderr,
         )
-        time.sleep(20)
-        _probe_wait_spent += 20
+        _sleep_budgeted(20)
 
 
 def _cpu_totals() -> tuple[int, int]:
@@ -289,7 +326,7 @@ def _foreign_spark_procs() -> list[str]:
 
 
 def _wait_for_quiet(events: list[str]) -> None:
-    deadline = time.time() + CONTENTION_WAIT_S
+    deadline = time.time() + min(CONTENTION_WAIT_S, max(0.0, _wait_left()))
     while True:
         foreign = _foreign_spark_procs()
         if not foreign:
@@ -302,12 +339,14 @@ def _wait_for_quiet(events: list[str]) -> None:
         foreign = [p for p in foreign if p in still]
         if not foreign:
             return
-        if time.time() > deadline:
+        if time.time() > deadline or _past_deadline():
             events.append(f"gave_up_waiting_on:{','.join(foreign[:5])}")
             return
         events.append(f"waiting_on:{','.join(foreign[:5])}")
         print(f"bench: waiting for foreign Spark procs: {foreign[:5]}", file=sys.stderr)
-        time.sleep(15)
+        if not _sleep_budgeted(15):
+            events.append(f"gave_up_waiting_on:{','.join(foreign[:5])}")
+            return
 
 
 def _spawn_pinned(cores: int, runs: int = 1) -> tuple[float, float]:
@@ -371,6 +410,8 @@ def _timed_guarded(
         )
         if acceptable and attempt >= 1:
             break  # one extra window hunted; don't stall the suite further
+        if _wait_spent >= TOTAL_WAIT_BUDGET_S or _past_deadline():
+            break  # shared budget gone — flagged number beats no number
     events.append(f"rerun_timed:{label}:kept={best:.1f}:uncertified")
     return best
 
@@ -406,7 +447,7 @@ def _scaling_matrix(
     import statistics
 
     samples: dict[int, list[float]] = {c: [] for c in levels}
-    clean_counts: dict[int, int] = {c: 0 for c in levels}
+    clean: dict[int, list[float]] = {c: [] for c in levels}
     steals: list[float] = []
     events = [] if events is None else events
 
@@ -427,14 +468,19 @@ def _scaling_matrix(
                 ref is None or post <= ref * PROBE_TOLERANCE
             )
             good_enough = certified if strict else acceptable
-            if good_enough or attempt == 3:
+            if (
+                good_enough
+                or attempt == 3
+                or _wait_spent >= TOTAL_WAIT_BUDGET_S
+                or _past_deadline()
+            ):
                 if not acceptable:
                     events.append(
                         f"accepted_contaminated:cores={cores},round={rnd},"
                         f"steal={steal:.3f},post_probe={post:.2f}"
                     )
                 if certified:
-                    clean_counts[cores] += 1
+                    clean[cores].append(sec)
                 samples[cores].append(sec)
                 steals.append(round(steal, 4))
                 return
@@ -442,19 +488,39 @@ def _scaling_matrix(
                 f"retry:cores={cores},round={rnd},steal={steal:.3f},"
                 f"post_probe={post:.2f}"
             )
-            time.sleep(20)  # let the burst pass before burning the retry
+            _sleep_budgeted(20)  # let the burst pass before burning the retry
 
     for rnd in range(rounds):
+        if rnd and _past_deadline():
+            # every level already has rnd samples; more rounds are optional
+            events.append(f"deadline_truncated_rounds:after={rnd}")
+            break
         for cores in levels:
             one_slot(cores, rnd)
 
     extra = int(os.environ.get("SPARK_GRAFT_EXTRA_ROUNDS", "3"))
-    global _probe_wait_spent
     for ex in range(extra):
+        if _past_deadline():
+            events.append(f"deadline_skipped_extra_rounds:at={ex}")
+            break
         best = {c: min(v) for c, v in samples.items()}
+        # median-of-clean when available: contaminated samples must not pin
+        # the median low forever (extra rounds could then never satisfy it)
+        med = {
+            c: statistics.median(clean[c] if len(clean[c]) >= 2 else v)
+            for c, v in samples.items()
+        }
         rates = {c: PIPELINE_ROWS / s / 1e6 for c, s in best.items()}
+        med_rates = {c: PIPELINE_ROWS / s / 1e6 for c, s in med.items()}
+        # a pair fails if EITHER statistic misses the gate: round-4 verdict —
+        # evidence where only the min passes is fragile, so hunt clean
+        # samples until the median agrees too (or the attempt cap ends it).
         failing = {
             pair for pair, eff in _pairs_of(rates).items() if eff < TARGET_EFF
+        } | {
+            pair
+            for pair, eff in _pairs_of(med_rates).items()
+            if eff < TARGET_EFF
         }
         if not failing:
             break
@@ -462,19 +528,28 @@ def _scaling_matrix(
             {int(x) for pair in failing for x in pair.split("->")}
         )
         events.append(f"extra_round:{ex}:pairs={sorted(failing)}")
-        # the failing pair deserves fresh quiet-hunting budget and a
-        # CERTIFIED-or-bust retry policy: these are the samples that decide
-        # the gate, so wait for a genuinely quiet window for them.
-        _probe_wait_spent = max(0.0, _probe_wait_spent - 300.0)
+        # CERTIFIED-or-bust retry policy for the samples that decide the
+        # gate — but drawing on the SAME shared wait budget (round-4
+        # post-mortem: per-phase budget refunds compounded past the driver's
+        # wall clock and no JSON line was emitted at all).
         for cores in redo:
             one_slot(cores, rounds + ex, strict=True)
 
     best = {c: min(v) for c, v in samples.items()}
-    medians = {c: statistics.median(v) for c, v in samples.items()}
+    medians = {
+        c: statistics.median(clean[c] if len(clean[c]) >= 2 else v)
+        for c, v in samples.items()
+    }
     meta = {
         "samples_sec": {str(c): [round(x, 2) for x in v] for c, v in samples.items()},
         "median_sec": {str(c): round(v, 2) for c, v in medians.items()},
-        "clean_samples": {str(c): clean_counts[c] for c in levels},
+        "median_basis": {
+            str(c): ("clean" if len(clean[c]) >= 2 else "all") for c in levels
+        },
+        "clean_samples_sec": {
+            str(c): [round(x, 2) for x in v] for c, v in clean.items()
+        },
+        "clean_samples": {str(c): len(clean[c]) for c in levels},
         "stat": "min (one-sided contention; medians + all samples reported)",
         "steal_share_per_sample": steals,
         "contention_events": events,
@@ -615,6 +690,22 @@ def main() -> None:
     pairs_median = _pairs_of(med_rates)
     headline_eff = pairs.get("2->8") or pairs.get("4->16")
 
+    # honest contention flag: any gate gave up / accepted a contaminated
+    # sample, or the shared wait budget ran dry. A flagged number is the
+    # contract with the driver — it must always get a parsable line.
+    contended = _wait_spent >= TOTAL_WAIT_BUDGET_S or any(
+        e.split(":")[0]
+        in {
+            "probe_gave_up",
+            "gave_up_waiting_on",
+            "accepted_contaminated",
+            "contaminated_timing",
+            "deadline_truncated_rounds",
+            "deadline_skipped_extra_rounds",
+        }
+        for e in events
+    )
+
     # The driver captures only the tail of stdout, so the FINAL line must
     # stay compact (≤2 KB): headline queries + throughput + efficiency.
     # Full evidence (per-sample timings, medians, contention events, probe
@@ -625,6 +716,7 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "sf": _sf_of(SF_DIR),
+        "contended": contended,
         "throughput": {
             "pipeline_rows": PIPELINE_ROWS,
             f"local[{CPUS}]_mrows_per_s": round(PIPELINE_ROWS / t_full / 1e6, 3),

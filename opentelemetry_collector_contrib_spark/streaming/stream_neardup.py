@@ -116,13 +116,20 @@ def streaming_neardup_bands(
             return
         (first,) = state.get if state.exists else (None,)
         out = []
-        for pdf in pdfs:
-            for doc in pdf["doc_id"].sort_values():
-                if first is None:
-                    first = doc
-                    out.append((band, s0, s1, doc, doc, True))
-                else:
-                    out.append((band, s0, s1, doc, first, False))
+        # Materialize the whole group before deciding first-arrival: pdfs is
+        # an iterator of Arrow CHUNKS, and a heavy-duplicate bucket spans
+        # several. Sorting per chunk would make "first" the min of the first
+        # chunk only — dependent on upstream chunk boundaries — breaking the
+        # documented in-batch determinism (first = min doc_id per bucket)
+        # and the batch=streaming equivalence the oracle pins.
+        chunks = [pdf["doc_id"] for pdf in pdfs]
+        docs = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        for doc in docs.sort_values():
+            if first is None:
+                first = doc
+                out.append((band, s0, s1, doc, doc, True))
+            else:
+                out.append((band, s0, s1, doc, first, False))
         state.update((first,))
         if ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
