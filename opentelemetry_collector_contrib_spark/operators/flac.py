@@ -346,6 +346,10 @@ def _decode_subframe(r: _BitReader, bs: int, bits: int) -> np.ndarray:
         shift = r.read(5)
         if shift >= 16:  # signed 5-bit
             shift -= 32
+        if shift < 0:
+            # negative quantization shift is spec-invalid; reject here so a
+            # malformed stream surfaces as a diagnostic, not `pred >> -n`.
+            raise ValueError("reserved negative LPC shift")
         coefs = []
         for _ in range(order):
             c = r.read(prec)
@@ -408,6 +412,11 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             bs = r.read(16) + 1
         elif bs_code == 0b0001:
             bs = 192
+        elif bs_code == 0:
+            # 0b0000 is reserved by the spec; without this guard the
+            # fallback below would raise a confusing negative-shift
+            # ValueError instead of the module's reserved-code style.
+            raise ValueError("reserved blocksize code 0b0000")
         else:
             bs = 576 << (bs_code - 2) if 2 <= bs_code <= 5 else 256 << (bs_code - 8)
         if sr_code in (0b1100, 0b1101, 0b1110):

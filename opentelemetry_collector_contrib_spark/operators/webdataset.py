@@ -85,42 +85,64 @@ def write_webdataset_shards(
                    F.lit(num_shards)).cast("int"),
         )
         shard_col = "__shard"
-    staged = df.select(
-        F.col(shard_col).alias("shard_id"),
-        F.col(id_col).cast("long").alias("key"),
-        F.col(tokens_col).alias("tokens"),
-        F.col(source_col).cast("string").alias("source"),
-    ).repartition(num_shards, "shard_id")
+    staged = (
+        df.select(
+            F.col(shard_col).alias("shard_id"),
+            F.col(id_col).cast("long").alias("key"),
+            F.col(tokens_col).alias("tokens"),
+            F.col(source_col).cast("string").alias("source"),
+        )
+        .repartition(num_shards, "shard_id")
+        # sort the whole partition (shard, key) so the writer can STREAM
+        # Arrow batches straight into the tars: per-task memory is one
+        # Arrow batch, not O(corpus/num_shards), and the bytes stay
+        # reproducible because rows arrive in their final tar order.
+        .sortWithinPartitions("shard_id", "key")
+    )
 
     os.makedirs(out_dir, exist_ok=True)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # one task may hold several shard ids (hash collisions on the
-        # partitioner); group and write one tar per shard id it owns
-        chunks = list(batches)
-        pdf = pd.concat(chunks, ignore_index=True) if chunks else None
-        if pdf is None or len(pdf) == 0:
-            yield pd.DataFrame(
-                columns=["shard_id", "n_samples", "n_tokens", "tar_bytes", "path"]
-            )
-            return
+        # partitioner), but rows arrive sorted (shard_id, key): keep ONE
+        # tar open at a time and roll it when the shard id changes.
+        cur_sid: int | None = None
+        tf = None
+        path = ""
+        n_tok = n_samp = 0
         rows = []
-        for sid, grp in pdf.groupby("shard_id"):
-            grp = grp.sort_values("key")
-            path = os.path.join(out_dir, "shard-%05d.tar" % int(sid))
-            n_tok = 0
-            with tarfile.open(path, "w", format=tarfile.USTAR_FORMAT) as tf:
-                for key, toks, src in zip(grp["key"], grp["tokens"], grp["source"]):
-                    stem = "%012d" % int(key)
-                    arr = np.asarray(toks, dtype="<i4")
-                    n_tok += len(arr)
-                    _tar_add(tf, stem + ".tokens", arr.tobytes())
-                    _tar_add(tf, stem + ".txt", str(src).encode("utf-8"))
-            rows.append(dict(
-                shard_id=int(sid), n_samples=len(grp), n_tokens=n_tok,
-                tar_bytes=os.path.getsize(path), path=path,
-            ))
-        yield pd.DataFrame(rows)
+
+        def close_current() -> None:
+            nonlocal tf
+            if tf is not None:
+                tf.close()
+                tf = None
+                rows.append(dict(
+                    shard_id=cur_sid, n_samples=n_samp, n_tokens=n_tok,
+                    tar_bytes=os.path.getsize(path), path=path,
+                ))
+
+        for pdf in batches:
+            for sid, key, toks, src in zip(
+                pdf["shard_id"], pdf["key"], pdf["tokens"], pdf["source"]
+            ):
+                sid = int(sid)
+                if sid != cur_sid:
+                    close_current()
+                    cur_sid, n_tok, n_samp = sid, 0, 0
+                    path = os.path.join(out_dir, "shard-%05d.tar" % sid)
+                    tf = tarfile.open(path, "w", format=tarfile.USTAR_FORMAT)
+                stem = "%012d" % int(key)
+                arr = np.asarray(toks, dtype="<i4")
+                n_tok += len(arr)
+                n_samp += 1
+                _tar_add(tf, stem + ".tokens", arr.tobytes())
+                _tar_add(tf, stem + ".txt", str(src).encode("utf-8"))
+        close_current()
+        yield pd.DataFrame(
+            rows,
+            columns=["shard_id", "n_samples", "n_tokens", "tar_bytes", "path"],
+        )
 
     return staged.mapInPandas(gen, _MANIFEST_SCHEMA)
 
