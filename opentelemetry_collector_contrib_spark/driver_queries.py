@@ -4129,6 +4129,160 @@ FROM shared WHERE shared_fp >= 1 ORDER BY doc_a, doc_b
 _SQL_WINNOW = _winnow_sql()
 
 
+# ---------------------------------------------------------------------------
+# round 5: exporter wire-format parity (kafkaexporter + fileexporter proto)
+
+def _flat_log_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic flat OTLP log records synthesized from the events
+    table — the record shape `read_otlp_json` yields, used by the
+    exporter-marshaling queries so every byte is oracle-replayable."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hexid = F.lower(F.conv(F.col("event_id").cast("string"), 10, 16))
+    return ev.select(
+        "event_id",
+        (
+            (F.lit(1704067200) + F.col("event_id") % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        (F.col("event_id") % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(
+            F.lit("evt <"), F.col("event_id").cast("string"),
+            F.lit("> "), F.col("event_type"),
+        ).alias("body"),
+        F.create_map(
+            F.lit("k"), (F.col("event_id") % 5).cast("string")
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (F.col("event_id") % 3).cast("string")),
+        ).alias("resource"),
+        F.lit("recv/otlp").alias("scope_name"),
+        F.lpad(hexid, 32, "0").alias("trace_id"),
+        F.lpad(hexid, 16, "0").alias("span_id"),
+    )
+
+
+def _q_kafka_raw_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kafkaexporter ``encoding: raw``: one message per log record, value =
+    Go ``json.Marshal`` of the body incl. its HTML escaping of ``<>&``
+    (`exporter/kafkaexporter/raw_marshaler.go:24-71`). The oracle rebuilds
+    the exact bytes with string replaces, so the marshaled value is
+    value-checked per row."""
+    from .operators.kafka_exporter import kafka_messages
+
+    ensure_shipped(spark)
+    msgs = kafka_messages(
+        _flat_log_records(spark, sf_dir).drop("event_id"),
+        "otel-logs",
+        encoding="raw",
+    )
+    return msgs.select(
+        "topic", F.col("value").cast("string").alias("value_str")
+    )
+
+
+_SQL_KAFKA_RAW = """
+SELECT 'otel-logs' AS topic,
+       '"' || replace(replace(replace(
+           'evt <' || event_id || '> ' || event_type,
+           '&', '\\u0026'), '<', '\\u003c'), '>', '\\u003e') || '"' AS value_str
+FROM events
+"""
+
+_FLAT_ORACLE_COLS = """
+       CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT) AS time_unix_nano,
+       CAST(event_id % 24 + 1 AS INT) AS severity_number,
+       event_type AS severity_text,
+       'evt <' || event_id || '> ' || event_type AS body,
+       CAST(event_id % 5 AS VARCHAR) AS attr_k,
+       'svc' || (event_id % 3) AS service_name,
+       'recv/otlp' AS scope_name,
+       lpad(lower(to_hex(event_id)), 32, '0') AS trace_id,
+       lpad(lower(to_hex(event_id)), 16, '0') AS span_id
+"""
+
+
+def _q_file_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fileexporter ``format: proto`` + ``compression: zstd`` round trip:
+    marshal flat records with the pure-Python plog wire codec, write
+    4-byte-BE length-framed zstd'd messages with size-based rotation
+    (`exporter/fileexporter/file_writer.go:40-50`, lumberjack), then READ
+    THE FILES BACK and return per-row values — the oracle is the original
+    record set, so framing+codec+rotation must be lossless to pass.
+    ``max_bytes`` forces several rotated parts per writer task;
+    ``max_backups`` stays at the 100 default so nothing is pruned."""
+    import tempfile
+
+    from .operators.file_exporter import read_otlp_proto, write_otlp_proto
+
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="proto_sink_q_")
+    flat = _flat_log_records(spark, sf_dir).drop("event_id").repartition(4)
+    write_otlp_proto(
+        flat, work, compression="zstd", batch_records=512, max_bytes=64 * 1024
+    ).collect()
+    back = read_otlp_proto(spark, f"{work}/*.proto.*", compression="zstd")
+    return back.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("resource")["service.name"].alias("service_name"),
+        "scope_name",
+        "trace_id",
+        "span_id",
+    )
+
+
+_SQL_FILE_PROTO = f"SELECT {_FLAT_ORACLE_COLS} FROM events"
+
+
+def _q_kafka_otlp_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kafkaexporter ``encoding: otlp_json``: marshal one plog JSON message
+    per (resource, scope) group (`pdata_marshaler.go:21-32`), then parse
+    the message VALUES back through the otlpjson reader's flatten — the
+    oracle is the original record set, so the grouping + JSON assembly is
+    value-checked end-to-end (uint64 nanos ride as strings per the
+    protobuf JSON mapping)."""
+    from .operators.kafka_exporter import kafka_messages
+    from .sources.readers import parse_otlp_json
+
+    ensure_utc(spark)
+    msgs = kafka_messages(
+        _flat_log_records(spark, sf_dir).drop("event_id"),
+        "otel-logs",
+        encoding="otlp_json",
+    )
+    back = parse_otlp_json(msgs, json_col="value")
+    return back.select(
+        F.unix_timestamp(F.col("ts")).cast("long").alias("ts_unix"),
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("resource")["service.name"].alias("service_name"),
+        "scope_name",
+        "trace_id",
+        "span_id",
+    )
+
+
+_SQL_KAFKA_OTLP_JSON = """
+SELECT CAST(1704067200 + event_id % 86400 AS BIGINT) AS ts_unix,
+       CAST(event_id % 24 + 1 AS INT) AS severity_number,
+       event_type AS severity_text,
+       'evt <' || event_id || '> ' || event_type AS body,
+       CAST(event_id % 5 AS VARCHAR) AS attr_k,
+       'svc' || (event_id % 3) AS service_name,
+       'recv/otlp' AS scope_name,
+       lpad(lower(to_hex(event_id)), 32, '0') AS trace_id,
+       lpad(lower(to_hex(event_id)), 16, '0') AS span_id
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4179,6 +4333,13 @@ REGISTRY: list[Query] = [
     Query("incremental_dedup", _q_incremental_dedup, _SQL_INCREMENTAL),
     Query("chunk_documents", _q_chunk_documents, _SQL_CHUNK),
     # --- round-5 additions go here (must stay within the first 50 entries) ---
+    Query("kafka_raw_marshal", _q_kafka_raw_marshal, _SQL_KAFKA_RAW),
+    Query("file_proto_roundtrip", _q_file_proto_roundtrip, _SQL_FILE_PROTO),
+    Query(
+        "kafka_otlp_json_roundtrip",
+        _q_kafka_otlp_json_roundtrip,
+        _SQL_KAFKA_OTLP_JSON,
+    ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),

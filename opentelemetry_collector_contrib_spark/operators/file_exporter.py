@@ -1,0 +1,282 @@
+"""fileexporter ``format: proto`` fidelity: length-delimited protobuf
+write/read round-trip, size-based rotation, optional zstd compression.
+
+Reference (`exporter/fileexporter/`):
+
+- ``format: proto`` marshals each plog.Logs batch with
+  ``plog.ProtoMarshaler`` and writes it prefixed by a 4-byte big-endian
+  uint32 length (`file_writer.go:40-50`); JSON-with-compression uses the
+  same framing (`file_writer.go:108-116`);
+- ``compression: zstd`` compresses each marshaled message BEFORE framing
+  (`marshaller.go:70-105` — ``buf = m.compressor(buf)``; `codec.go:25`);
+- rotation is lumberjack: when the current file would exceed
+  ``max_megabytes`` the writer rolls to a new file and prunes old backups
+  past ``max_backups`` (default 100, `factory.go:28,62`).
+
+Spark mapping: a sink is a per-task writer. Each writer task owns one
+file *series* and rotates within it — part files ``logs-<task>.proto.N``
+play lumberjack's timestamped backups (rename-free: object stores don't
+rename), where N increases and the newest part is the "current" file.
+``max_backups`` prunes the oldest parts per series, preserving
+lumberjack's bounded-retention contract per writer.
+
+Reading back tolerates both parts and single files: ``read_otlp_proto``
+binaryFile-scans a glob, unframes, decompresses if asked, and decodes to
+the same flat record schema ``sources.readers.read_otlp_json`` yields —
+so collector-written proto output has a first-class reader here.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..functions.otlp_proto import decode_logs, encode_logs, unframe
+
+__all__ = [
+    "zstd_compress",
+    "zstd_decompress",
+    "marshal_framed",
+    "write_otlp_proto",
+    "read_otlp_proto",
+]
+
+
+def _zstd_codec():
+    # pyarrow wraps libzstd; frames are standard and interoperable with
+    # the Go klauspost encoder the reference uses (codec.go:11)
+    import pyarrow as pa
+
+    return pa.Codec("zstd")
+
+
+def zstd_compress(buf: bytes) -> bytes:
+    return _zstd_codec().compress(buf, asbytes=True)
+
+
+def zstd_decompress(buf: bytes) -> bytes:
+    # pyarrow's one-shot Codec.decompress requires the decompressed size,
+    # which the wire format doesn't carry separately — stream instead
+    # (handles any standard zstd frame, incl. the reference's Go encoder)
+    import pyarrow as pa
+
+    with pa.CompressedInputStream(pa.BufferReader(buf), "zstd") as s:
+        return s.read()
+
+
+_MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("messages", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+    ]
+)
+
+_FLAT_SCHEMA = T.StructType(
+    [
+        T.StructField("time_unix_nano", T.LongType()),
+        T.StructField("severity_number", T.IntegerType()),
+        T.StructField("severity_text", T.StringType()),
+        T.StructField("body", T.StringType()),
+        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("scope_name", T.StringType()),
+        T.StructField("trace_id", T.StringType()),
+        T.StructField("span_id", T.StringType()),
+    ]
+)
+
+
+def _records_in_order(pdf: pd.DataFrame) -> list[dict]:
+    """pandas batch → flat record dicts, INPUT order preserved."""
+    recs = []
+    for row in pdf.itertuples(index=False):
+        d = dict(zip(pdf.columns, row))
+        recs.append(
+            {
+                "time_unix_nano": int(d.get("time_unix_nano") or 0),
+                "severity_number": int(d.get("severity_number") or 0),
+                "severity_text": d.get("severity_text") or "",
+                "body": d.get("body"),
+                "attributes": dict(d.get("attributes") or {}),
+                "resource": dict(d.get("resource") or {}),
+                "scope_name": d.get("scope_name") or "",
+                "trace_id": d.get("trace_id") or "",
+                "span_id": d.get("span_id") or "",
+            }
+        )
+    return recs
+
+
+def _flat_records(pdf: pd.DataFrame) -> list[dict]:
+    recs = _records_in_order(pdf)
+    recs.sort(
+        key=lambda r: (
+            tuple(sorted(r["resource"].items())), r["scope_name"],
+            r["trace_id"], r["span_id"], r["time_unix_nano"], str(r["body"]),
+        )
+    )
+    return recs
+
+
+def marshal_framed(
+    records: list[dict], compression: str | None = None,
+    batch_records: int = 0,
+) -> bytes:
+    """Marshal flat records into the fileexporter's on-disk proto stream:
+    group into plog batches (``batch_records`` caps records per message;
+    0 = one message per (resource, scope) run), compress each message if
+    asked, frame each with the 4-byte BE length."""
+    msgs: list[bytes] = []
+    if batch_records and batch_records > 0:
+        chunks = [
+            records[i:i + batch_records]
+            for i in range(0, len(records), batch_records)
+        ]
+    else:
+        chunks = [records] if records else []
+    for chunk in chunks:
+        buf = encode_logs(chunk)
+        if compression == "zstd":
+            buf = zstd_compress(buf)
+        msgs.append(buf)
+    out = bytearray()
+    for m in msgs:
+        out += len(m).to_bytes(4, "big") + m
+    return bytes(out)
+
+
+def write_otlp_proto(
+    df: DataFrame,
+    out_dir: str,
+    *,
+    compression: str | None = None,
+    batch_records: int = 4096,
+    max_bytes: int = 100 * 1024 * 1024,
+    max_backups: int = 100,
+) -> DataFrame:
+    """Write a flat log-record DataFrame as fileexporter-proto files;
+    returns the part-file manifest (path, messages, bytes).
+
+    One writer task per upstream partition; each task rotates its series
+    when the current part would exceed ``max_bytes`` (lumberjack
+    ``max_megabytes``) and prunes parts beyond ``max_backups``. Rows are
+    sorted upstream (sortWithinPartitions) and the writer STREAMS Arrow
+    batches into parts — per-task memory is one marshal chunk, never the
+    partition (the bounded-memory discipline of the other sinks) — so the
+    bytes are a pure function of the task's row set. ``out_dir`` must be
+    a shared filesystem on a real cluster (same contract as the
+    webdataset sink).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if "scope_name" not in df.columns:
+        df = df.withColumn("scope_name", F.lit(""))
+    # final on-disk order, imposed by the engine so the writer can stream
+    df = df.sortWithinPartitions(
+        F.to_json(F.col("resource")), "scope_name", "trace_id", "span_id",
+        "time_unix_nano", "body",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        task = TaskContext.get().partitionId()
+        series = os.path.join(out_dir, f"logs-{task:05d}.proto")
+        part = 0
+        cur: list[bytes] = []  # framed messages pending in current part
+        cur_bytes = 0
+        written: list[dict] = []
+
+        def flush() -> None:
+            nonlocal part, cur, cur_bytes
+            if not cur:
+                return
+            path = f"{series}.{part:04d}"
+            blob = b"".join(cur)
+            with open(path, "wb") as fh:
+                fh.write(blob)
+            written.append(
+                dict(path=path, messages=len(cur), bytes=len(blob))
+            )
+            part += 1
+            cur, cur_bytes = [], 0
+
+        def prune() -> None:
+            # lumberjack MaxBackups: keep the newest max_backups parts
+            # (+ the current), drop the oldest
+            while len(written) > max_backups + 1:
+                victim = written.pop(0)
+                os.unlink(victim["path"])
+                victim["pruned"] = True
+
+        step = max(1, batch_records)
+        carry: list[dict] = []  # < step records awaiting the next batch
+
+        def emit(recs: list[dict], final: bool) -> None:
+            nonlocal carry, cur, cur_bytes
+            recs = carry + recs
+            carry = []
+            end = len(recs) if final else (len(recs) // step) * step
+            for i in range(0, end, step):
+                framed = marshal_framed(
+                    recs[i:i + step], compression=compression
+                )
+                if cur_bytes and cur_bytes + len(framed) > max_bytes:
+                    flush()
+                    prune()
+                cur.append(framed)
+                cur_bytes += len(framed)
+            carry = recs[end:]
+
+        for pdf in batches:
+            if len(pdf):
+                # rows arrive in final order; no per-chunk re-sort (records
+                # within one message keep that order — _records_in_order)
+                emit(_records_in_order(pdf), final=False)
+        emit([], final=True)
+        flush()
+        prune()
+        yield pd.DataFrame(
+            [w for w in written if not w.get("pruned")],
+            columns=["path", "messages", "bytes"],
+        )
+
+    return df.mapInPandas(gen, _MANIFEST_SCHEMA)
+
+
+def read_otlp_proto(
+    spark: SparkSession, path_glob: str, *, compression: str | None = None
+) -> DataFrame:
+    """fileexporter-proto reader: binaryFile scan → unframe → (zstd) →
+    decode → flat records (schema identical to ``read_otlp_json``'s flat
+    output, with time kept as int nanos). Distributed: each file decodes
+    on the executor that scanned it."""
+    bins = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for content in pdf["content"]:
+                for msg in unframe(bytes(content)):
+                    if compression == "zstd":
+                        msg = zstd_decompress(msg)
+                    for rec in decode_logs(msg):
+                        rec.pop("observed_time_unix_nano", None)
+                        rec["body"] = (
+                            None if rec["body"] is None else str(rec["body"])
+                        )
+                        rec["attributes"] = {
+                            k: str(v) for k, v in rec["attributes"].items()
+                        }
+                        rec["resource"] = {
+                            k: str(v) for k, v in rec["resource"].items()
+                        }
+                        rows.append(rec)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _FLAT_SCHEMA.fields]
+            )
+
+    return bins.select("content").mapInPandas(gen, _FLAT_SCHEMA)

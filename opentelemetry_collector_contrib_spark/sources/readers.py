@@ -367,6 +367,20 @@ def read_otlp_json(spark: SparkSession, path: str) -> DataFrame:
     into rows; resource/scope context denormalizes onto each record (the
     columnar inverse of `adapter/converter.go:285-340`)."""
     raw = spark.read.schema(_OTLP_SCHEMA).json(path)
+    return parse_otlp_json(raw)
+
+
+def parse_otlp_json(raw: DataFrame, json_col: str | None = None) -> DataFrame:
+    """Explode an OTLP/JSON document tree into flat log records.
+
+    ``raw`` either already has the ``_OTLP_SCHEMA`` top-level columns
+    (file scan) or carries whole documents as strings in ``json_col``
+    (e.g. kafka otlp_json message values) — the shared flatten half of
+    ``read_otlp_json``."""
+    if json_col is not None:
+        raw = raw.select(
+            F.from_json(F.col(json_col).cast("string"), _OTLP_SCHEMA).alias("d")
+        ).select("d.*")
     rl = raw.select(F.explode("resourceLogs").alias("rl"))
     sl = rl.select(
         _kv_to_map(F.col("rl.resource.attributes")).alias("resource"),
