@@ -4283,6 +4283,62 @@ FROM events
 """
 
 
+def _q_k8s_dynamic_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8sattributes DYNAMIC store (watch-fed,
+    `processor/k8sattributesprocessor/internal/kube/client.go:373`): two
+    availableNow drains of a streaming enrich with a LUT MUTATION between
+    them — wave-1 rows (even event_id) must carry v1 metadata, wave-2 rows
+    v2, per row. foreachBatch re-reads + re-broadcasts the store every
+    micro-batch (`streaming/dynamic_enrich.py`); the engine checkpoint
+    makes drain 2 process only the new files (exactly-once resume)."""
+    import tempfile
+
+    from .streaming.dynamic_enrich import run_dynamic_enrich
+
+    ensure_utc(spark)
+    work = tempfile.mkdtemp(prefix="k8s_dyn_q_")
+    inp, lut, out = f"{work}/in", f"{work}/lut", f"{work}/out"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.concat(F.lit("src"), (F.col("event_id") % 19).cast("string")).alias(
+            "source"
+        ),
+    )
+    lut_schema = "source string, team string"
+
+    def write_lut(version: str) -> None:
+        rows = [(f"src{i}", f"team{i % 5}-{version}") for i in range(19)]
+        spark.createDataFrame(rows, lut_schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(lut)
+
+    schema = ev.schema
+    # wave 1 (even ids) lands, store holds v1
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    write_lut("v1")
+    run_dynamic_enrich(spark, inp, lut, out, schema=schema)
+    # the watch fires: store mutates to v2, THEN wave 2 (odd ids) arrives
+    write_lut("v2")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    run_dynamic_enrich(spark, inp, lut, out, schema=schema)
+    return spark.read.parquet(f"{out}/data").select(
+        "event_id", "source", "team"
+    )
+
+
+_SQL_K8S_DYNAMIC = """
+SELECT event_id,
+       'src' || (event_id % 19) AS source,
+       'team' || ((event_id % 19) % 5)
+           || CASE WHEN event_id % 2 = 0 THEN '-v1' ELSE '-v2' END AS team
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4340,6 +4396,7 @@ REGISTRY: list[Query] = [
         _q_kafka_otlp_json_roundtrip,
         _SQL_KAFKA_OTLP_JSON,
     ),
+    Query("k8s_dynamic_enrich", _q_k8s_dynamic_enrich, _SQL_K8S_DYNAMIC),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
