@@ -1178,13 +1178,16 @@ FROM ranked GROUP BY doc_id
 def _q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication signal (Lee et al. 2021 analog): per doc,
     the count of 4-token window positions whose exact 4-gram occurs in ≥2
-    distinct documents. Inverted index shuffles packed longs only."""
+    distinct documents. Inverted index shuffles packed longs only.
+    passes=2 exercises the scratch-bounding hash-range iteration (the
+    100 TB path) under the driver's value oracle — pass-count-invariant
+    by construction, so the oracle is unchanged."""
     from .operators.dedup import duplicated_spans
 
     toks = _tokens_of_docs(spark, sf_dir).select(
         row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
     )
-    return duplicated_spans(toks, "doc_id", "tokens", n=4, min_docs=2)
+    return duplicated_spans(toks, "doc_id", "tokens", n=4, min_docs=2, passes=2)
 
 
 def _dup_spans_sql() -> str:
@@ -2878,7 +2881,7 @@ def _q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = _tokens_of_docs(spark, sf_dir).select(
         row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
     )
-    out = remove_dup_spans(toks, "doc_id", "tokens", n=4, min_docs=2)
+    out = remove_dup_spans(toks, "doc_id", "tokens", n=4, min_docs=2, passes=2)
     return out.select(
         "doc_id",
         F.concat_ws(",", F.transform(F.col("tokens_clean"), lambda x: x.cast("string")))

@@ -779,6 +779,7 @@ def duplicated_spans(
     tokens_col: str,
     n: int = 4,
     min_docs: int = 2,
+    passes: int = 1,
 ) -> DataFrame:
     """Exact-substring duplication signal (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better": their suffix-array pass
@@ -797,6 +798,20 @@ def duplicated_spans(
     duplicate implies all its n-sub-spans are duplicates) or swap the
     packing for a 128-bit hash.
 
+    ``passes > 1`` bounds SCRATCH, not work: the index shuffle is the
+    scale ceiling (round-4 measurement: 71.6 GB disk spill at 100M docs
+    even with tokens capped at 16). Pass k keeps only grams with
+    ``xxhash64(gm) % passes == k`` — the filter runs scan-side, BEFORE
+    the exchange, so each pass shuffles ~1/passes of the index; the pass
+    result (≤ one 16-byte row per doc) is localCheckpoint'd, cutting
+    lineage so the previous pass's shuffle files are GC-reclaimed before
+    the next pass starts. Live scratch is bounded by one hash range of
+    the gram space at the cost of ``passes`` input re-scans — the right
+    trade at 100 TB where scratch, not scan bandwidth, is the binding
+    constraint. Correctness is pass-count-invariant: gram counts are
+    computed within the gram's own hash range, and per-doc dup positions
+    add across disjoint ranges.
+
     Returns (id, npos, dup_pos): total window positions and duplicated
     positions; dup fraction = dup_pos/npos is the Lee-et-al report metric.
     """
@@ -814,17 +829,36 @@ def duplicated_spans(
     )).otherwise(F.array().cast("array<bigint>"))
     base = df.select(F.col(id_col), packed.alias("__grams"))
     inv = base.select(id_col, F.explode("__grams").alias("gm"))
-    dup_grams = (
-        inv.groupBy("gm")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gm")
-    )
-    dup_counts = (
-        inv.join(dup_grams, on="gm")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("dup_pos"))
-    )
+
+    def _dup_counts(inv_k: DataFrame) -> DataFrame:
+        dup_grams = (
+            inv_k.groupBy("gm")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gm")
+        )
+        return (
+            inv_k.join(dup_grams, on="gm")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("dup_pos"))
+        )
+
+    if passes <= 1:
+        dup_counts = _dup_counts(inv)
+    else:
+        acc = None
+        for k in range(passes):
+            inv_k = inv.where(
+                F.pmod(F.xxhash64(F.col("gm")), F.lit(passes)) == F.lit(k)
+            )
+            # eager + lineage-cut: pass k's doc-bounded partial counts
+            # materialize now and pass k's index shuffle becomes
+            # GC-collectable before pass k+1 runs
+            cnt_k = _dup_counts(inv_k).localCheckpoint()
+            acc = cnt_k if acc is None else acc.unionByName(cnt_k)
+        dup_counts = acc.groupBy(id_col).agg(
+            F.sum("dup_pos").cast("long").alias("dup_pos")
+        )
     return (
         base.select(id_col, F.size("__grams").cast("long").alias("npos"))
         .join(dup_counts, on=id_col, how="left")
@@ -839,6 +873,7 @@ def remove_dup_spans(
     n: int = 4,
     min_docs: int = 2,
     out: str = "tokens_clean",
+    passes: int = 1,
 ) -> DataFrame:
     """Exact-substring duplication REMOVAL — the policy half of
     ``duplicated_spans`` (Lee et al. 2021 §4 cut the duplicated substring
@@ -873,16 +908,33 @@ def remove_dup_spans(
     )).otherwise(F.array().cast("array<bigint>"))
     base = df.select(F.col(id_col), t.alias("__toks"), packed.alias("__grams"))
     inv = base.select(id_col, F.posexplode("__grams").alias("pos", "gm"))
-    dup_grams = (
-        inv.groupBy("gm")
-        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-        .filter(F.col("__nd") >= min_docs)
-        .select("gm")
-    )
-    starts = (
-        inv.join(dup_grams, on="gm")
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("__starts"))
+
+    def _dup_starts(inv_k: DataFrame) -> DataFrame:
+        dup_grams = (
+            inv_k.groupBy("gm")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("gm")
+        )
+        return inv_k.join(dup_grams, on="gm").select(id_col, "pos")
+
+    if passes <= 1:
+        dup_pos_rows = _dup_starts(inv)
+    else:
+        # same scratch-bounding hash-range iteration as duplicated_spans:
+        # pass k shuffles only its gram range; (id, pos) partials are
+        # duplicate-window-bounded and localCheckpoint'd so the previous
+        # pass's index shuffle is reclaimed before the next pass
+        acc = None
+        for k in range(passes):
+            inv_k = inv.where(
+                F.pmod(F.xxhash64(F.col("gm")), F.lit(passes)) == F.lit(k)
+            )
+            part = _dup_starts(inv_k).localCheckpoint()
+            acc = part if acc is None else acc.unionByName(part)
+        dup_pos_rows = acc
+    starts = dup_pos_rows.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("__starts")
     )
     joined = base.join(starts, on=id_col, how="left").withColumn(
         "__starts", F.coalesce(F.col("__starts"), F.array().cast("array<int>"))

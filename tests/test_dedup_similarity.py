@@ -785,6 +785,44 @@ class TestDuplicatedSpans:
         with pytest.raises(ValueError, match="n <= 4"):
             dd.duplicated_spans(df, "doc_id", "tokens", n=5)
 
+    def test_passes_invariance(self, spark):
+        # the scratch-bounding hash-range iteration must be a pure
+        # execution strategy: identical values at every pass count
+        rows = [
+            (i, [(i * 7 + j) % 13 for j in range(10)]) for i in range(30)
+        ] + [(100 + i, [1, 2, 3, 4, 5, 6]) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        expect = {
+            r.doc_id: (r.npos, r.dup_pos)
+            for r in dd.duplicated_spans(df, "doc_id", "tokens", n=4).collect()
+        }
+        assert any(v[1] > 0 for v in expect.values())  # non-trivial fixture
+        for p in (2, 3, 7):
+            got = {
+                r.doc_id: (r.npos, r.dup_pos)
+                for r in dd.duplicated_spans(
+                    df, "doc_id", "tokens", n=4, passes=p
+                ).collect()
+            }
+            assert got == expect, f"passes={p}"
+
+    def test_removal_passes_invariance(self, spark):
+        rows = [
+            (i, [(i * 7 + j) % 13 for j in range(10)]) for i in range(30)
+        ] + [(100 + i, [1, 2, 3, 4, 5, 6]) for i in range(5)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        expect = {
+            r.doc_id: (tuple(r.tokens_clean), r.n_removed)
+            for r in dd.remove_dup_spans(df, "doc_id", "tokens", n=4).collect()
+        }
+        got = {
+            r.doc_id: (tuple(r.tokens_clean), r.n_removed)
+            for r in dd.remove_dup_spans(
+                df, "doc_id", "tokens", n=4, passes=3
+            ).collect()
+        }
+        assert got == expect
+
 
 class TestTokenFrequencies:
     def test_counts_and_rank_tiebreak(self, spark):

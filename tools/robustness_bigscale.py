@@ -51,6 +51,7 @@ CAP_TOKENS = 32  # doc cap for line_dedup (see module doc)
 # dup_spans explodes ~(cap-3) int64 windows/doc across three live shuffles;
 # 16 fits the sandbox's scratch, 32 does not (measured — module doc)
 DUP_CAP = int(os.environ.get("SPARK_GRAFT_ROBUST_DUP_CAP", "16"))
+DUP_PASSES = int(os.environ.get("SPARK_GRAFT_ROBUST_DUP_PASSES", "1"))
 LINE_TOKENS = 8  # tokens per rendered line for line_dedup
 
 
@@ -135,13 +136,25 @@ def run_dup_spans(spark) -> dict:
     t = _tokens(spark, DUP_CAP).select(
         row_idx_col(F.col("doc_id")).alias("doc_id"), "tokens"
     )
-    out = duplicated_spans(t, "doc_id", "tokens", n=4, min_docs=2)
+    # DUP_PASSES > 1 = the scratch-bounded hash-range iteration (round-5):
+    # pass k shuffles ~1/passes of the inverted index, localCheckpoints its
+    # doc-bounded partials, and the prior pass's shuffle files are GC'd —
+    # the strategy that makes cap-32 fit the sandbox's 75 GB scratch where
+    # the single-pass round-4 run spilled 71.6 GB at cap-16
+    out = duplicated_spans(
+        t, "doc_id", "tokens", n=4, min_docs=2, passes=DUP_PASSES
+    )
     row = out.agg(
         F.count(F.lit(1)).alias("docs"),
         F.sum("npos").alias("windows"),
         F.sum("dup_pos").alias("dup_windows"),
     ).collect()[0]
-    return {"docs": row["docs"], "windows": row["windows"], "dup_windows": row["dup_windows"]}
+    return {
+        "docs": row["docs"],
+        "windows": row["windows"],
+        "dup_windows": row["dup_windows"],
+        "passes": DUP_PASSES,
+    }
 
 
 def run_curate(spark) -> dict:
