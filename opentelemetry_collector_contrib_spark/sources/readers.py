@@ -677,6 +677,72 @@ def pipe_spool_listener(fifo_path: str, spool_dir: str, flush_every: int = 200):
     return stop
 
 
+def subprocess_spool_follower(
+    cmd: list[str], spool_dir: str, flush_every: int = 200
+):
+    """Live subscription half of the subprocess-fed inputs — journald's
+    long-lived ``journalctl -f -o json`` (`pkg/stanza/operator/input/
+    journald/input.go` starts exactly this command and scans stdout) and
+    any eventlog-style follower. Same spool bridge as the UDP/FIFO
+    sources: a daemon thread tails the child's stdout and lands whole
+    files (atomic rename) for the checkpointed streaming file source, so
+    the subscription composes with `stream_udp_lines`-style readStream +
+    `journald_parser` unchanged.
+
+    The command is caller-supplied because it is host-specific (journalctl
+    flags, Windows event CLIs); tests exercise the bridge with a stub
+    emitter. Returns (proc, stop) — stop() terminates the child and
+    flushes the tail."""
+    import os
+    import subprocess
+    import threading
+    import uuid
+
+    os.makedirs(spool_dir, exist_ok=True)
+    proc = subprocess.Popen(
+        cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, bufsize=1,
+        text=True,
+    )
+    stopped = threading.Event()
+    buf: list[str] = []
+
+    def flush():
+        if not buf:
+            return
+        name = f"sub-{uuid.uuid4().hex}.log"
+        tmp = os.path.join(spool_dir, "." + name)
+        with open(tmp, "w") as f:
+            f.write("\n".join(buf) + "\n")
+        os.rename(tmp, os.path.join(spool_dir, name))
+        buf.clear()
+
+    def run():
+        try:
+            for line in proc.stdout:
+                buf.append(line.rstrip("\n"))
+                if len(buf) >= flush_every or stopped.is_set():
+                    flush()
+                if stopped.is_set():
+                    break
+        finally:
+            flush()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+
+    def stop():
+        stopped.set()
+        proc.terminate()
+        try:
+            proc.wait(timeout=5)
+        except Exception:
+            proc.kill()
+        t.join(timeout=5)
+        flush()
+
+    return proc, stop
+
+
 def read_stdin_lines(spark: SparkSession) -> DataFrame:
     """stdin receiver analog (`pkg/stanza/operator/input/stdin`): drain
     standard input ONCE into a batch DataFrame of ``line: string``. The

@@ -424,3 +424,50 @@ def test_read_log_lines_gzip(spark, tmp_path_factory):
         (r.offset, r.line) for r in rows2 if r.file.endswith("a.log.gz")
     )
     assert [l for _, l in got] == lines
+
+
+def test_subprocess_spool_follower_journald_live(spark, tmp_path):
+    """Live subscription half of the journald input: a long-lived
+    subprocess (stub `journalctl -f -o json` emitter) tails into spool
+    files, which the batch/streaming file source + journald_parser consume
+    unchanged (input/journald/input.go's follow mode)."""
+    import sys
+    import time
+
+    from opentelemetry_collector_contrib_spark.operators.parse import (
+        journald_parser,
+    )
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        subprocess_spool_follower,
+    )
+
+    spool = str(tmp_path / "spool")
+    emitter = (
+        "import json,sys,time\n"
+        "for i in range(25):\n"
+        "    rec={'__CURSOR':'s=aa;i=%d'%i,"
+        "'__REALTIME_TIMESTAMP':str(1700000000000000+i),"
+        "'PRIORITY':str(i%8),'MESSAGE':'live msg %d'%i,"
+        "'_SYSTEMD_UNIT':'u%d.service'%(i%3)}\n"
+        "    sys.stdout.write(json.dumps(rec)+'\\n')\n"
+        "    sys.stdout.flush()\n"
+        "    time.sleep(0.01)\n"
+    )
+    proc, stop = subprocess_spool_follower(
+        [sys.executable, "-u", "-c", emitter], spool, flush_every=10
+    )
+    try:
+        deadline = time.time() + 20
+        while proc.poll() is None and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        stop()
+    lines = spark.read.text(spool).withColumnRenamed("value", "line")
+    parsed = journald_parser(lines, parse_from="line")
+    rows = sorted(parsed.collect(), key=lambda r: int(r.cursor.split("=")[-1]))
+    assert len(rows) == 25
+    assert rows[0].body["MESSAGE"] == "live msg 0"
+    assert rows[24].body["MESSAGE"] == "live msg 24"
+    assert {r.body["_SYSTEMD_UNIT"] for r in rows} == {
+        "u0.service", "u1.service", "u2.service"
+    }
