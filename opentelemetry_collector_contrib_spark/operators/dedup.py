@@ -846,15 +846,22 @@ def duplicated_spans(
     if passes <= 1:
         dup_counts = _dup_counts(inv)
     else:
+        from pyspark.storagelevel import StorageLevel
+
         acc = None
         for k in range(passes):
+            # pass k's index slice is persisted DISK_ONLY: that on-disk
+            # slice (≈ |index|/passes — the live-scratch bound by design)
+            # feeds BOTH consumers (distinct-count agg + join back), so
+            # each pass scans and packs the input exactly once
             inv_k = inv.where(
                 F.pmod(F.xxhash64(F.col("gm")), F.lit(passes)) == F.lit(k)
-            )
+            ).persist(StorageLevel.DISK_ONLY)
             # eager + lineage-cut: pass k's doc-bounded partial counts
-            # materialize now and pass k's index shuffle becomes
-            # GC-collectable before pass k+1 runs
+            # materialize now and pass k's index slice + shuffle become
+            # reclaimable before pass k+1 starts
             cnt_k = _dup_counts(inv_k).localCheckpoint()
+            inv_k.unpersist()
             acc = cnt_k if acc is None else acc.unionByName(cnt_k)
         dup_counts = acc.groupBy(id_col).agg(
             F.sum("dup_pos").cast("long").alias("dup_pos")
@@ -922,15 +929,19 @@ def remove_dup_spans(
         dup_pos_rows = _dup_starts(inv)
     else:
         # same scratch-bounding hash-range iteration as duplicated_spans:
-        # pass k shuffles only its gram range; (id, pos) partials are
+        # the persisted DISK_ONLY slice (≈ |index|/passes) feeds both
+        # consumers so each pass scans once; (id, pos) partials are
         # duplicate-window-bounded and localCheckpoint'd so the previous
-        # pass's index shuffle is reclaimed before the next pass
+        # pass's slice + shuffle are reclaimed before the next pass
+        from pyspark.storagelevel import StorageLevel
+
         acc = None
         for k in range(passes):
             inv_k = inv.where(
                 F.pmod(F.xxhash64(F.col("gm")), F.lit(passes)) == F.lit(k)
-            )
+            ).persist(StorageLevel.DISK_ONLY)
             part = _dup_starts(inv_k).localCheckpoint()
+            inv_k.unpersist()
             acc = part if acc is None else acc.unionByName(part)
         dup_pos_rows = acc
     starts = dup_pos_rows.groupBy(id_col).agg(

@@ -140,7 +140,19 @@ def run_dup_spans(spark) -> dict:
     # pass k shuffles ~1/passes of the inverted index, localCheckpoints its
     # doc-bounded partials, and the prior pass's shuffle files are GC'd —
     # the strategy that makes cap-32 fit the sandbox's 75 GB scratch where
-    # the single-pass round-4 run spilled 71.6 GB at cap-16
+    # the single-pass round-4 run spilled 71.6 GB at cap-16.
+    # The multi-pass trade is K input re-SCANS — which on a real corpus
+    # means re-reading the Iceberg/parquet table, not re-running the
+    # synthetic generator. Stage the capped tokens to parquet once so the
+    # measured per-pass cost is the honest one (IO scan + pack), exactly
+    # what a 100 TB deployment would pay.
+    if DUP_PASSES > 1:
+        staging = os.path.join(
+            REPO, "data_cache", f"robust_tokens_cap{DUP_CAP}_{N_ROWS}"
+        )
+        if not os.path.exists(os.path.join(staging, "_SUCCESS")):
+            t.write.mode("overwrite").parquet(staging)
+        t = spark.read.parquet(staging)
     out = duplicated_spans(
         t, "doc_id", "tokens", n=4, min_docs=2, passes=DUP_PASSES
     )
