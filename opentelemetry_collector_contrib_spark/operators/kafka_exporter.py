@@ -125,11 +125,20 @@ def _otlp_json_messages(df: DataFrame, topic: str) -> DataFrame:
     )
 
 
-def _otlp_proto_messages(df: DataFrame, topic: str) -> DataFrame:
+def _otlp_proto_messages(df: DataFrame, topic: str, splits: int = 1) -> DataFrame:
     """otlp_proto (default) encoding: ``plog.ProtoMarshaler`` bytes per
     (resource, scope) group via the pure-Python wire codec. Records inside
     a message are ordered by (trace_id, span_id, time, body) so the bytes
-    are a pure function of the row SET, not of task boundaries."""
+    are a pure function of the row SET, not of task boundaries.
+
+    ``splits > 1`` shards each group into ``splits`` deterministic
+    sub-messages keyed on xxhash64(trace_id, span_id, body) — the skew/
+    size valve for hot resources: the reference's message size is bounded
+    by pipeline batching (one message per plog batch) and rejected by
+    sarama past ``producer.max_message_bytes`` (config.go:79); at corpus
+    scale a hot (resource, scope) group would otherwise funnel into one
+    task and one oversized message. Size splits so group/splits fits the
+    broker limit."""
     cols = df.columns
 
     def marshal_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -164,22 +173,31 @@ def _otlp_proto_messages(df: DataFrame, topic: str) -> DataFrame:
     if "scope_name" not in cols:
         df = df.withColumn("scope_name", F.lit(""))
     # ONE exchange: applyInPandas hash-partitions on the grouping key, so
-    # each (resource, scope) group marshals into exactly one message
-    return df.groupBy(
-        F.to_json(F.col("resource")).alias("_res_key"), F.col("scope_name")
-    ).applyInPandas(marshal_group, _MSG_SCHEMA)
+    # each (resource, scope[, shard]) group marshals into exactly one message
+    keys = [F.to_json(F.col("resource")).alias("_res_key"), F.col("scope_name")]
+    if splits > 1:
+        keys.append(
+            F.pmod(
+                F.xxhash64(F.col("trace_id"), F.col("span_id"), F.col("body")),
+                F.lit(splits),
+            ).alias("_shard")
+        )
+    return df.groupBy(*keys).applyInPandas(marshal_group, _MSG_SCHEMA)
 
 
 def kafka_messages(
-    df: DataFrame, topic: str, encoding: str = "otlp_proto"
+    df: DataFrame, topic: str, encoding: str = "otlp_proto", splits: int = 1
 ) -> DataFrame:
     """Marshal a flat log-record DataFrame into kafka producer messages
     (topic string, key binary, value binary) — `marshaler.go:71-81`'s
-    encoding registry for logs: otlp_proto (default), otlp_json, raw."""
+    encoding registry for logs: otlp_proto (default), otlp_json, raw.
+    ``splits`` bounds per-message size for hot resource groups
+    (otlp_proto only; raw is per-record and otlp_json groups are sized
+    by the upstream batch)."""
     if encoding == "raw":
         return _raw_messages(df, topic)
     if encoding == "otlp_json":
         return _otlp_json_messages(df, topic)
     if encoding == "otlp_proto":
-        return _otlp_proto_messages(df, topic)
+        return _otlp_proto_messages(df, topic, splits=splits)
     raise ValueError(f"unrecognized encoding {encoding!r}")
