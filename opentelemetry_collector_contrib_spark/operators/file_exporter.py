@@ -247,6 +247,136 @@ def write_otlp_proto(
     return df.mapInPandas(gen, _MANIFEST_SCHEMA)
 
 
+def _group_full_path(prefix: str, segment: str, suffix: str) -> str:
+    """grouping_file_exporter's path assembly incl. the traversal guard
+    (`grouping_file_exporter.go:203-217`): path = Clean(prefix + segment +
+    suffix); a segment that escapes the prefix is re-rooted under it."""
+    import posixpath
+
+    if segment.startswith("./"):
+        segment = segment[1:]
+    elif segment.startswith("../"):
+        segment = segment[2:]
+    full = posixpath.normpath(prefix + segment + suffix)
+    if full.startswith(posixpath.normpath(prefix)):
+        return full
+    return posixpath.join(
+        prefix, posixpath.normpath(posixpath.join("/", segment + suffix)).lstrip("/")
+    )
+
+
+def write_otlp_proto_grouped(
+    df: DataFrame,
+    path_template: str,
+    *,
+    group_by_attr: str = "fileexporter.path_segment",
+    compression: str | None = None,
+    batch_records: int = 4096,
+    max_bytes: int = 100 * 1024 * 1024,
+    max_backups: int = 100,
+) -> DataFrame:
+    """fileexporter ``group_by`` variant for ``format: proto``
+    (`grouping_file_exporter.go`): one file SERIES per distinct value of a
+    resource attribute, path = the template with ``*`` replaced by the
+    (sanitized) value; records whose resource lacks the attribute are
+    DROPPED (the reference logs-and-drops, go:237-241).
+
+    Spark mapping: ONE exchange partitions rows by segment so each segment
+    is owned by exactly one writer task (many segments per task is fine —
+    the writer rolls series on segment change, the analog of the
+    reference's LRU of open files bounding memory, not correctness).
+    Rotation/backups per series as in :func:`write_otlp_proto`. Returns
+    the part manifest (path, messages, bytes).
+    """
+    if "*" not in path_template:
+        raise ValueError("path_template needs a '*' (prefix*suffix)")
+    prefix, suffix = path_template.split("*", 1)
+    os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+    if "scope_name" not in df.columns:
+        df = df.withColumn("scope_name", F.lit(""))
+    seg = F.col("resource").getItem(group_by_attr)
+    staged = (
+        df.withColumn("__seg", seg)
+        .where(F.col("__seg").isNotNull())
+        .repartition(F.col("__seg"))
+        .sortWithinPartitions(
+            "__seg", F.to_json(F.col("resource")), "scope_name",
+            "trace_id", "span_id", "time_unix_nano", "body",
+        )
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        written: list[dict] = []
+        cur_seg: str | None = None
+        series = ""
+        part = 0
+        cur: list[bytes] = []
+        cur_bytes = 0
+        carry: list[dict] = []
+        step = max(1, batch_records)
+
+        def flush() -> None:
+            nonlocal part, cur, cur_bytes
+            if not cur:
+                return
+            path = f"{series}.{part:04d}"
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            blob = b"".join(cur)
+            with open(path, "wb") as fh:
+                fh.write(blob)
+            written.append(dict(path=path, messages=len(cur), bytes=len(blob)))
+            part += 1
+            cur, cur_bytes = [], 0
+
+        def prune() -> None:
+            mine = [w for w in written if w["path"].startswith(series + ".")]
+            while len(mine) > max_backups + 1:
+                victim = mine.pop(0)
+                os.unlink(victim["path"])
+                written.remove(victim)
+
+        def emit(recs: list[dict], final: bool) -> None:
+            nonlocal carry, cur, cur_bytes
+            recs = carry + recs
+            carry = []
+            end = len(recs) if final else (len(recs) // step) * step
+            for i in range(0, end, step):
+                framed = marshal_framed(recs[i:i + step], compression=compression)
+                if cur_bytes and cur_bytes + len(framed) > max_bytes:
+                    flush()
+                    prune()
+                cur.append(framed)
+                cur_bytes += len(framed)
+            carry = recs[end:]
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # rows arrive sorted by __seg: consecutive runs are whole groups
+            # (a run can span Arrow batches — cur_seg/carry persist)
+            for s, grp in pdf.groupby("__seg", sort=False):
+                s = str(s)
+                if s != cur_seg:
+                    emit([], final=True)
+                    flush()
+                    prune()
+                    cur_seg = s
+                    series = _group_full_path(prefix, s, suffix)
+                    part = 0
+                emit(
+                    _records_in_order(grp.drop(columns=["__seg"])),
+                    final=False,
+                )
+        emit([], final=True)
+        flush()
+        prune()
+        yield pd.DataFrame(
+            written, columns=["path", "messages", "bytes"]
+        )
+
+    return staged.mapInPandas(gen, _MANIFEST_SCHEMA)
+
+
 def read_otlp_proto(
     spark: SparkSession, path_glob: str, *, compression: str | None = None
 ) -> DataFrame:
