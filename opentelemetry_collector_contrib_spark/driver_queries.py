@@ -4214,7 +4214,9 @@ def _q_file_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     THE FILES BACK and return per-row values — the oracle is the original
     record set, so framing+codec+rotation must be lossless to pass.
     ``max_bytes`` forces several rotated parts per writer task;
-    ``max_backups`` stays at the 100 default so nothing is pruned."""
+    ``max_backups`` is explicitly unbounded — pruning DELETES data by
+    design (lumberjack retention), and a round-trip oracle must keep
+    every part at any scale factor."""
     import tempfile
 
     from .operators.file_exporter import read_otlp_proto, write_otlp_proto
@@ -4223,7 +4225,8 @@ def _q_file_proto_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="proto_sink_q_")
     flat = _flat_log_records(spark, sf_dir).drop("event_id").repartition(4)
     write_otlp_proto(
-        flat, work, compression="zstd", batch_records=512, max_bytes=64 * 1024
+        flat, work, compression="zstd", batch_records=512,
+        max_bytes=64 * 1024, max_backups=10**9,
     ).collect()
     back = read_otlp_proto(spark, f"{work}/*.proto.*", compression="zstd")
     return back.select(

@@ -163,7 +163,10 @@ def encode_log_record(rec: dict) -> bytes:
     out += _uvarint_field(2, rec.get("severity_number"))
     out += _str(3, rec.get("severity_text"))
     body = rec.get("body")
-    if body is not None and body != "":
+    if body is not None:
+        # '' is a SET-but-empty body (Str("")) and must survive the round
+        # trip as '' (AnyValue{string_value:""}); only None (ValueTypeEmpty
+        # / unset) omits the field
         out += _ld(5, encode_any_value(body))
     out += _attrs(6, rec.get("attributes"))
     tid = rec.get("trace_id")
@@ -228,6 +231,8 @@ def _fields(buf: bytes) -> Iterable[tuple[int, int, Any]]:
             val, pos = _read_varint(buf, pos)
         elif wire == 1:
             val = buf[pos:pos + 8]
+            if len(val) != 8:
+                raise ValueError("truncated fixed64 field")
             pos += 8
         elif wire == 2:
             ln, pos = _read_varint(buf, pos)
@@ -237,6 +242,8 @@ def _fields(buf: bytes) -> Iterable[tuple[int, int, Any]]:
             pos += ln
         elif wire == 5:
             val = buf[pos:pos + 4]
+            if len(val) != 4:
+                raise ValueError("truncated fixed32 field")
             pos += 4
         else:
             raise ValueError(f"unsupported wire type {wire}")

@@ -34,7 +34,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from ..functions.otlp_proto import decode_logs, encode_logs, unframe
+from ..functions.otlp_proto import decode_logs, encode_logs, frame, unframe
 
 __all__ = [
     "zstd_compress",
@@ -143,10 +143,89 @@ def marshal_framed(
         if compression == "zstd":
             buf = zstd_compress(buf)
         msgs.append(buf)
-    out = bytearray()
-    for m in msgs:
-        out += len(m).to_bytes(4, "big") + m
-    return bytes(out)
+    return frame(msgs)
+
+
+class _SeriesWriter:
+    """Rotation state machine shared by the proto sinks: stream record
+    chunks into the current part file, roll a new part past ``max_bytes``
+    (lumberjack size rotation), prune THIS series' oldest parts past
+    ``max_backups`` — parts are tracked per series exactly, never matched
+    by path prefix, so dotted sibling segments ('web' vs 'web.0001') can
+    never prune each other's files."""
+
+    def __init__(self, compression, batch_records, max_bytes, max_backups):
+        self.compression = compression
+        self.step = max(1, batch_records)
+        self.max_bytes = max_bytes
+        self.max_backups = max_backups
+        self.series: str | None = None
+        self.part = 0
+        self.cur: list[bytes] = []
+        self.cur_bytes = 0
+        self.carry: list[dict] = []
+        self.parts: list[dict] = []  # live parts of the CURRENT series
+        self.written: list[dict] = []  # every part ever (pruned flagged)
+
+    def _flush(self) -> None:
+        if not self.cur:
+            return
+        path = f"{self.series}.{self.part:04d}"
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        blob = b"".join(self.cur)
+        with open(path, "wb") as fh:
+            fh.write(blob)
+        row = dict(path=path, messages=len(self.cur), bytes=len(blob))
+        self.parts.append(row)
+        self.written.append(row)
+        self.part += 1
+        self.cur, self.cur_bytes = [], 0
+
+    def _prune(self) -> None:
+        # lumberjack MaxBackups: keep the newest max_backups parts
+        # (+ the current) OF THIS SERIES, drop the oldest
+        while len(self.parts) > self.max_backups + 1:
+            victim = self.parts.pop(0)
+            os.unlink(victim["path"])
+            victim["pruned"] = True
+
+    def _emit(self, recs: list[dict], final: bool) -> None:
+        recs = self.carry + recs
+        self.carry = []
+        end = len(recs) if final else (len(recs) // self.step) * self.step
+        for i in range(0, end, self.step):
+            framed = marshal_framed(
+                recs[i:i + self.step], compression=self.compression
+            )
+            if self.cur_bytes and self.cur_bytes + len(framed) > self.max_bytes:
+                self._flush()
+                self._prune()
+            self.cur.append(framed)
+            self.cur_bytes += len(framed)
+        self.carry = recs[end:]
+
+    def open(self, series: str) -> None:
+        """Finalize the current series (if any) and start a new one."""
+        self.close()
+        self.series = series
+        self.part = 0
+        self.parts = []
+
+    def add(self, recs: list[dict]) -> None:
+        self._emit(recs, final=False)
+
+    def close(self) -> None:
+        if self.series is None:
+            return
+        self._emit([], final=True)
+        self._flush()
+        self._prune()
+
+    def manifest(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            [w for w in self.written if not w.get("pruned")],
+            columns=["path", "messages", "bytes"],
+        )
 
 
 def write_otlp_proto(
@@ -184,65 +263,15 @@ def write_otlp_proto(
         from pyspark import TaskContext
 
         task = TaskContext.get().partitionId()
-        series = os.path.join(out_dir, f"logs-{task:05d}.proto")
-        part = 0
-        cur: list[bytes] = []  # framed messages pending in current part
-        cur_bytes = 0
-        written: list[dict] = []
-
-        def flush() -> None:
-            nonlocal part, cur, cur_bytes
-            if not cur:
-                return
-            path = f"{series}.{part:04d}"
-            blob = b"".join(cur)
-            with open(path, "wb") as fh:
-                fh.write(blob)
-            written.append(
-                dict(path=path, messages=len(cur), bytes=len(blob))
-            )
-            part += 1
-            cur, cur_bytes = [], 0
-
-        def prune() -> None:
-            # lumberjack MaxBackups: keep the newest max_backups parts
-            # (+ the current), drop the oldest
-            while len(written) > max_backups + 1:
-                victim = written.pop(0)
-                os.unlink(victim["path"])
-                victim["pruned"] = True
-
-        step = max(1, batch_records)
-        carry: list[dict] = []  # < step records awaiting the next batch
-
-        def emit(recs: list[dict], final: bool) -> None:
-            nonlocal carry, cur, cur_bytes
-            recs = carry + recs
-            carry = []
-            end = len(recs) if final else (len(recs) // step) * step
-            for i in range(0, end, step):
-                framed = marshal_framed(
-                    recs[i:i + step], compression=compression
-                )
-                if cur_bytes and cur_bytes + len(framed) > max_bytes:
-                    flush()
-                    prune()
-                cur.append(framed)
-                cur_bytes += len(framed)
-            carry = recs[end:]
-
+        w = _SeriesWriter(compression, batch_records, max_bytes, max_backups)
+        w.open(os.path.join(out_dir, f"logs-{task:05d}.proto"))
         for pdf in batches:
             if len(pdf):
                 # rows arrive in final order; no per-chunk re-sort (records
                 # within one message keep that order — _records_in_order)
-                emit(_records_in_order(pdf), final=False)
-        emit([], final=True)
-        flush()
-        prune()
-        yield pd.DataFrame(
-            [w for w in written if not w.get("pruned")],
-            columns=["path", "messages", "bytes"],
-        )
+                w.add(_records_in_order(pdf))
+        w.close()
+        yield w.manifest()
 
     return df.mapInPandas(gen, _MANIFEST_SCHEMA)
 
@@ -281,10 +310,12 @@ def write_otlp_proto_grouped(
     (sanitized) value; records whose resource lacks the attribute are
     DROPPED (the reference logs-and-drops, go:237-241).
 
-    Spark mapping: ONE exchange partitions rows by segment so each segment
-    is owned by exactly one writer task (many segments per task is fine —
-    the writer rolls series on segment change, the analog of the
-    reference's LRU of open files bounding memory, not correctness).
+    Spark mapping: rows are keyed on the SANITIZED series path (two raw
+    segments like 'a' and './a' that sanitize to the same file are one
+    group — the reference appends both to one shared open file, go:167-176)
+    and ONE exchange gives each series exactly one writer task (many series
+    per task is fine — the writer rolls series on path change, the analog
+    of the reference's LRU of open files bounding memory, not correctness).
     Rotation/backups per series as in :func:`write_otlp_proto`. Returns
     the part manifest (path, messages, bytes).
     """
@@ -294,85 +325,36 @@ def write_otlp_proto_grouped(
     os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
     if "scope_name" not in df.columns:
         df = df.withColumn("scope_name", F.lit(""))
-    seg = F.col("resource").getItem(group_by_attr)
+
+    @F.pandas_udf(T.StringType())
+    def series_path(segs: pd.Series) -> pd.Series:
+        return segs.map(
+            lambda s: None if s is None else _group_full_path(prefix, str(s), suffix)
+        )
+
     staged = (
-        df.withColumn("__seg", seg)
-        .where(F.col("__seg").isNotNull())
-        .repartition(F.col("__seg"))
+        df.withColumn("__series", series_path(F.col("resource").getItem(group_by_attr)))
+        .where(F.col("__series").isNotNull())
+        .repartition(F.col("__series"))
         .sortWithinPartitions(
-            "__seg", F.to_json(F.col("resource")), "scope_name",
+            "__series", F.to_json(F.col("resource")), "scope_name",
             "trace_id", "span_id", "time_unix_nano", "body",
         )
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        written: list[dict] = []
-        cur_seg: str | None = None
-        series = ""
-        part = 0
-        cur: list[bytes] = []
-        cur_bytes = 0
-        carry: list[dict] = []
-        step = max(1, batch_records)
-
-        def flush() -> None:
-            nonlocal part, cur, cur_bytes
-            if not cur:
-                return
-            path = f"{series}.{part:04d}"
-            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-            blob = b"".join(cur)
-            with open(path, "wb") as fh:
-                fh.write(blob)
-            written.append(dict(path=path, messages=len(cur), bytes=len(blob)))
-            part += 1
-            cur, cur_bytes = [], 0
-
-        def prune() -> None:
-            mine = [w for w in written if w["path"].startswith(series + ".")]
-            while len(mine) > max_backups + 1:
-                victim = mine.pop(0)
-                os.unlink(victim["path"])
-                written.remove(victim)
-
-        def emit(recs: list[dict], final: bool) -> None:
-            nonlocal carry, cur, cur_bytes
-            recs = carry + recs
-            carry = []
-            end = len(recs) if final else (len(recs) // step) * step
-            for i in range(0, end, step):
-                framed = marshal_framed(recs[i:i + step], compression=compression)
-                if cur_bytes and cur_bytes + len(framed) > max_bytes:
-                    flush()
-                    prune()
-                cur.append(framed)
-                cur_bytes += len(framed)
-            carry = recs[end:]
-
+        w = _SeriesWriter(compression, batch_records, max_bytes, max_backups)
         for pdf in batches:
             if not len(pdf):
                 continue
-            # rows arrive sorted by __seg: consecutive runs are whole groups
-            # (a run can span Arrow batches — cur_seg/carry persist)
-            for s, grp in pdf.groupby("__seg", sort=False):
-                s = str(s)
-                if s != cur_seg:
-                    emit([], final=True)
-                    flush()
-                    prune()
-                    cur_seg = s
-                    series = _group_full_path(prefix, s, suffix)
-                    part = 0
-                emit(
-                    _records_in_order(grp.drop(columns=["__seg"])),
-                    final=False,
-                )
-        emit([], final=True)
-        flush()
-        prune()
-        yield pd.DataFrame(
-            written, columns=["path", "messages", "bytes"]
-        )
+            # rows arrive sorted by __series: consecutive runs are whole
+            # groups (a run can span Arrow batches — writer state persists)
+            for s, grp in pdf.groupby("__series", sort=False):
+                if str(s) != w.series:
+                    w.open(str(s))
+                w.add(_records_in_order(grp.drop(columns=["__series"])))
+        w.close()
+        yield w.manifest()
 
     return staged.mapInPandas(gen, _MANIFEST_SCHEMA)
 

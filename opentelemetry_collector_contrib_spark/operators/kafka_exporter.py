@@ -112,11 +112,10 @@ def _otlp_json_messages(df: DataFrame, topic: str) -> DataFrame:
     (``sources.readers.otlp_json_lines``), which is the same plog JSON
     mapping the kafka marshaler serializes (`marshaler.go:75`)."""
     if "ts" not in df.columns and "time_unix_nano" in df.columns:
+        # integer division: `/` promotes to double, whose 256-ns ulp near
+        # 1.7e18 mis-rounds timestamps across microsecond boundaries
         df = df.withColumn(
-            "ts",
-            F.timestamp_micros(
-                (F.col("time_unix_nano") / F.lit(1000)).cast("long")
-            ),
+            "ts", F.timestamp_micros(F.expr("time_unix_nano div 1000"))
         )
     return otlp_json_lines(df).select(
         F.lit(topic).alias("topic"),

@@ -705,22 +705,30 @@ def subprocess_spool_follower(
     )
     stopped = threading.Event()
     buf: list[str] = []
+    # flush() and buf are touched by BOTH the reader thread and stop()'s
+    # final drain: without the lock a timed-out join would let two threads
+    # snapshot the same buf into two spool files (duplicated lines) or
+    # lose a line appended between join and clear
+    lock = threading.Lock()
 
     def flush():
-        if not buf:
-            return
-        name = f"sub-{uuid.uuid4().hex}.log"
-        tmp = os.path.join(spool_dir, "." + name)
-        with open(tmp, "w") as f:
-            f.write("\n".join(buf) + "\n")
-        os.rename(tmp, os.path.join(spool_dir, name))
-        buf.clear()
+        with lock:
+            if not buf:
+                return
+            name = f"sub-{uuid.uuid4().hex}.log"
+            tmp = os.path.join(spool_dir, "." + name)
+            with open(tmp, "w") as f:
+                f.write("\n".join(buf) + "\n")
+            os.rename(tmp, os.path.join(spool_dir, name))
+            buf.clear()
 
     def run():
         try:
             for line in proc.stdout:
-                buf.append(line.rstrip("\n"))
-                if len(buf) >= flush_every or stopped.is_set():
+                with lock:
+                    buf.append(line.rstrip("\n"))
+                    full = len(buf) >= flush_every
+                if full or stopped.is_set():
                     flush()
                 if stopped.is_set():
                     break

@@ -194,12 +194,20 @@ class SendingQueue:
             self._q.task_done()
 
     def shutdown(self, timeout_s: float = 60.0) -> QueueStats:
-        """Drain outstanding batches, stop consumers, return stats."""
-        self._q.join()
+        """Drain outstanding batches, stop consumers, return stats.
+
+        ``timeout_s`` bounds the WHOLE shutdown (queue.Queue.join has no
+        timeout, so the drain is a deadline poll): a sink stuck in retry
+        or a dead consumer can't hang the driver — consumers are daemon
+        threads, so giving up is safe; undelivered batches stay staged on
+        disk and ``recover_staged()`` reclaims them."""
+        deadline = time.monotonic() + timeout_s
+        while self._q.unfinished_tasks and time.monotonic() < deadline:
+            time.sleep(0.05)
         for _ in self._consumers:
             self._q.put(self._STOP)
         for t in self._consumers:
-            t.join(timeout=timeout_s)
+            t.join(timeout=max(0.1, deadline - time.monotonic()))
         return self.stats
 
     def recover_staged(self) -> list[str]:
