@@ -122,14 +122,70 @@ def _flat_records(pdf: pd.DataFrame) -> list[dict]:
     return recs
 
 
+def _json_doc_bytes(records: list[dict]) -> bytes:
+    """plog ``JSONMarshaler`` document for a record chunk — the same
+    resourceLogs/scopeLogs/logRecords shape ``readers.otlp_json_lines``
+    assembles JVM-side (protobuf JSON mapping: uint64 nanos as strings,
+    attributes as KeyValue lists), built in Python for the framed-file
+    writer. Attribute keys are sorted (the codec's canonical order)."""
+    import json
+
+    def kvs(m: dict) -> list[dict]:
+        return [
+            {"key": k, "value": {"stringValue": str(m[k])}} for k in sorted(m)
+        ]
+
+    groups: dict[tuple, list[dict]] = {}
+    meta: dict[tuple, tuple] = {}
+    for r in records:
+        key = (tuple(sorted((r.get("resource") or {}).items())),
+               r.get("scope_name") or "")
+        groups.setdefault(key, []).append(r)
+        meta[key] = (r.get("resource") or {}, key[1])
+    rls = []
+    for key, recs in groups.items():
+        res, scope = meta[key]
+        lrs = []
+        for r in recs:
+            lr: dict = {}
+            if r.get("time_unix_nano"):
+                lr["timeUnixNano"] = str(int(r["time_unix_nano"]))
+            if r.get("severity_number"):
+                lr["severityNumber"] = int(r["severity_number"])
+            if r.get("severity_text"):
+                lr["severityText"] = r["severity_text"]
+            if r.get("body") is not None:
+                lr["body"] = {"stringValue": str(r["body"])}
+            if r.get("attributes"):
+                lr["attributes"] = kvs(r["attributes"])
+            if r.get("trace_id"):
+                lr["traceId"] = r["trace_id"]
+            if r.get("span_id"):
+                lr["spanId"] = r["span_id"]
+            lrs.append(lr)
+        rl: dict = {}
+        if res:
+            rl["resource"] = {"attributes": kvs(res)}
+        sl: dict = {"logRecords": lrs}
+        if scope:
+            sl["scope"] = {"name": scope}
+        rl["scopeLogs"] = [sl]
+        rls.append(rl)
+    return json.dumps(
+        {"resourceLogs": rls}, separators=(",", ":"), ensure_ascii=False
+    ).encode("utf-8")
+
+
 def marshal_framed(
     records: list[dict], compression: str | None = None,
-    batch_records: int = 0,
+    batch_records: int = 0, fmt: str = "proto",
 ) -> bytes:
-    """Marshal flat records into the fileexporter's on-disk proto stream:
+    """Marshal flat records into the fileexporter's on-disk stream:
     group into plog batches (``batch_records`` caps records per message;
-    0 = one message per (resource, scope) run), compress each message if
-    asked, frame each with the 4-byte BE length."""
+    0 = one message per (resource, scope) run), marshal each batch as
+    protobuf (``fmt='proto'``) or plog JSON (``fmt='json'``), compress if
+    asked, frame each with the 4-byte BE length. The reference uses this
+    framing for proto AND for compressed JSON (`file_writer.go:108-116`)."""
     msgs: list[bytes] = []
     if batch_records and batch_records > 0:
         chunks = [
@@ -139,7 +195,7 @@ def marshal_framed(
     else:
         chunks = [records] if records else []
     for chunk in chunks:
-        buf = encode_logs(chunk)
+        buf = encode_logs(chunk) if fmt == "proto" else _json_doc_bytes(chunk)
         if compression == "zstd":
             buf = zstd_compress(buf)
         msgs.append(buf)
@@ -154,8 +210,10 @@ class _SeriesWriter:
     by path prefix, so dotted sibling segments ('web' vs 'web.0001') can
     never prune each other's files."""
 
-    def __init__(self, compression, batch_records, max_bytes, max_backups):
+    def __init__(self, compression, batch_records, max_bytes, max_backups,
+                 fmt: str = "proto"):
         self.compression = compression
+        self.fmt = fmt
         self.step = max(1, batch_records)
         self.max_bytes = max_bytes
         self.max_backups = max_backups
@@ -195,7 +253,8 @@ class _SeriesWriter:
         end = len(recs) if final else (len(recs) // self.step) * self.step
         for i in range(0, end, self.step):
             framed = marshal_framed(
-                recs[i:i + self.step], compression=self.compression
+                recs[i:i + self.step], compression=self.compression,
+                fmt=self.fmt,
             )
             if self.cur_bytes and self.cur_bytes + len(framed) > self.max_bytes:
                 self._flush()
@@ -236,6 +295,7 @@ def write_otlp_proto(
     batch_records: int = 4096,
     max_bytes: int = 100 * 1024 * 1024,
     max_backups: int = 100,
+    fmt: str = "proto",
 ) -> DataFrame:
     """Write a flat log-record DataFrame as fileexporter-proto files;
     returns the part-file manifest (path, messages, bytes).
@@ -263,8 +323,10 @@ def write_otlp_proto(
         from pyspark import TaskContext
 
         task = TaskContext.get().partitionId()
-        w = _SeriesWriter(compression, batch_records, max_bytes, max_backups)
-        w.open(os.path.join(out_dir, f"logs-{task:05d}.proto"))
+        w = _SeriesWriter(
+            compression, batch_records, max_bytes, max_backups, fmt=fmt
+        )
+        w.open(os.path.join(out_dir, f"logs-{task:05d}.{fmt}"))
         for pdf in batches:
             if len(pdf):
                 # rows arrive in final order; no per-chunk re-sort (records
@@ -359,8 +421,44 @@ def write_otlp_proto_grouped(
     return staged.mapInPandas(gen, _MANIFEST_SCHEMA)
 
 
+def _json_doc_records(buf: bytes) -> list[dict]:
+    """Inverse of ``_json_doc_bytes``: plog JSON document → flat records
+    (resource/scope denormalized, nanos back to int)."""
+    import json
+
+    def unkvs(lst):
+        return {
+            kv["key"]: str(kv.get("value", {}).get("stringValue", ""))
+            for kv in lst or []
+        }
+
+    out: list[dict] = []
+    doc = json.loads(buf.decode("utf-8"))
+    for rl in doc.get("resourceLogs", []):
+        res = unkvs(rl.get("resource", {}).get("attributes"))
+        for sl in rl.get("scopeLogs", []):
+            scope = sl.get("scope", {}).get("name", "")
+            for lr in sl.get("logRecords", []):
+                body = lr.get("body")
+                out.append(
+                    {
+                        "time_unix_nano": int(lr.get("timeUnixNano", 0)),
+                        "severity_number": int(lr.get("severityNumber", 0)),
+                        "severity_text": lr.get("severityText", ""),
+                        "body": None if body is None else body.get("stringValue"),
+                        "attributes": unkvs(lr.get("attributes")),
+                        "resource": dict(res),
+                        "scope_name": scope,
+                        "trace_id": lr.get("traceId", ""),
+                        "span_id": lr.get("spanId", ""),
+                    }
+                )
+    return out
+
+
 def read_otlp_proto(
-    spark: SparkSession, path_glob: str, *, compression: str | None = None
+    spark: SparkSession, path_glob: str, *, compression: str | None = None,
+    fmt: str = "proto",
 ) -> DataFrame:
     """fileexporter-proto reader: binaryFile scan → unframe → (zstd) →
     decode → flat records (schema identical to ``read_otlp_json``'s flat
@@ -375,7 +473,11 @@ def read_otlp_proto(
                 for msg in unframe(bytes(content)):
                     if compression == "zstd":
                         msg = zstd_decompress(msg)
-                    for rec in decode_logs(msg):
+                    recs = (
+                        decode_logs(msg) if fmt == "proto"
+                        else _json_doc_records(msg)
+                    )
+                    for rec in recs:
                         rec.pop("observed_time_unix_nano", None)
                         rec["body"] = (
                             None if rec["body"] is None else str(rec["body"])
