@@ -4345,6 +4345,208 @@ FROM events
 """
 
 
+def _q_es_bulk_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elasticsearchexporter default-config bulk bytes: mapping mode
+    "none", dedup+dedot on (`factory.go:55-59`) → sorted keys, nested
+    objects, nine-digit @timestamp; each record ships as the two NDJSON
+    lines ``{"create":{"_index":...}}`` + document
+    (`elasticsearch_bulk.go:190`, `model.go:94-120`). The oracle rebuilds
+    the exact bytes with string concatenation — incl. the all-zero
+    trace/span omission rule exercised by event_id 0."""
+    from .operators.es_exporter import es_bulk_messages
+
+    ensure_shipped(spark)
+    msgs = es_bulk_messages(_flat_log_records(spark, sf_dir).drop("event_id"))
+    return msgs.select(
+        F.col("index").alias("es_index"),
+        F.col("value").cast("string").alias("value_str"),
+    )
+
+
+_SQL_ES_BULK = """
+SELECT 'logs-generic-default' AS es_index,
+       '{"create":{"_index":"logs-generic-default"}}' || chr(10)
+       || '{"@timestamp":"'
+       || strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                   '%Y-%m-%dT%H:%M:%S') || '.000000000Z",'
+       || '"Attributes":{"k":"' || (event_id % 5) || '"},'
+       || '"Body":"evt <' || event_id || '> ' || event_type || '",'
+       || '"Resource":{"service":{"name":"svc' || (event_id % 3) || '"}},'
+       || '"Scope":{"name":"recv/otlp","version":""},'
+       || '"SeverityNumber":' || (event_id % 24 + 1) || ','
+       || '"SeverityText":"' || event_type || '",'
+       || CASE WHEN event_id = 0 THEN '' ELSE
+            '"SpanId":"' || lpad(lower(to_hex(event_id)), 16, '0') || '",'
+          END
+       || '"TraceFlags":0'
+       || CASE WHEN event_id = 0 THEN '' ELSE
+            ',"TraceId":"' || lpad(lower(to_hex(event_id)), 32, '0') || '"'
+          END
+       || '}' || chr(10) AS value_str
+FROM events
+"""
+
+
+def _q_es_ecs_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """elasticsearchexporter ECS mapping + dynamic index + logstash date
+    suffix (`model.go:46-93`, `logs_exporter.go:111-126`, `util.go:14-28`):
+    the ``elasticsearch.index.prefix`` record attribute routes the index,
+    the logstash date derives from the record timestamp (3-day spread so
+    the suffix actually varies), and the prefix attribute itself stays in
+    the document (the reference does not strip it)."""
+    from .operators.es_exporter import es_bulk_messages
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flat = ev.select(
+        (
+            (
+                F.lit(1704067200)
+                + (F.col("event_id") % 3) * 86400
+                + F.col("event_id") % 3600
+            ).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        (F.col("event_id") % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(
+            F.lit("evt <"), F.col("event_id").cast("string"),
+            F.lit("> "), F.col("event_type"),
+        ).alias("body"),
+        F.create_map(
+            F.lit("k"), (F.col("event_id") % 5).cast("string"),
+            F.lit("elasticsearch.index.prefix"),
+            F.concat(F.lit("t"), (F.col("event_id") % 2).cast("string"),
+                     F.lit("-")),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (F.col("event_id") % 3).cast("string")),
+        ).alias("resource"),
+        F.lit("recv/otlp").alias("scope_name"),
+        F.lpad(F.lower(F.conv(F.col("event_id").cast("string"), 10, 16)),
+               32, "0").alias("trace_id"),
+        F.lpad(F.lower(F.conv(F.col("event_id").cast("string"), 10, 16)),
+               16, "0").alias("span_id"),
+    )
+    msgs = es_bulk_messages(
+        flat, mode="ecs", dynamic_index=True, logstash_format=True
+    )
+    return msgs.select(
+        F.col("index").alias("es_index"),
+        F.col("value").cast("string").alias("value_str"),
+    )
+
+
+_SQL_ES_ECS = """
+WITH base AS (
+  SELECT event_id, event_type,
+         't' || (event_id % 2) || '-logs-generic-default-'
+           || strftime(make_timestamp(
+                (1704067200 + (event_id % 3) * 86400 + event_id % 3600)
+                * 1000000), '%Y.%m.%d') AS es_index,
+         strftime(make_timestamp(
+              (1704067200 + (event_id % 3) * 86400 + event_id % 3600)
+              * 1000000), '%Y-%m-%dT%H:%M:%S') || '.000000000Z' AS ts
+  FROM events
+)
+SELECT es_index,
+       '{"create":{"_index":"' || es_index || '"}}' || chr(10)
+       || '{"@timestamp":"' || ts || '",'
+       || '"elasticsearch":{"index":{"prefix":"t' || (event_id % 2) || '-"}},'
+       || '"event":{"severity":' || (event_id % 24 + 1) || '},'
+       || '"k":"' || (event_id % 5) || '",'
+       || '"log":{"level":"' || event_type || '"},'
+       || '"message":"evt <' || event_id || '> ' || event_type || '",'
+       || '"service":{"name":"svc' || (event_id % 3) || '"}'
+       || CASE WHEN event_id = 0 THEN '' ELSE
+            ',"span":{"id":"' || lpad(lower(to_hex(event_id)), 16, '0')
+            || '"},"trace":{"id":"'
+            || lpad(lower(to_hex(event_id)), 32, '0') || '"}'
+          END
+       || '}' || chr(10) AS value_str
+FROM base
+"""
+
+
+def _q_s3_body_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awss3exporter ``marshaler: body`` sink round trip: write
+    ``body.AsString()+"\\n"`` objects (`body_marshaler.go:25-44`) under
+    the reference's Hive-style minute key layout (`s3_writer.go:26-59`),
+    then read the objects BACK and re-derive the time-partition levels
+    from the key — the oracle recomputes both from the events table, so
+    layout AND content must round-trip."""
+    import tempfile
+
+    from .operators.s3_exporter import read_s3_body_objects, write_s3_objects
+
+    ensure_shipped(spark)
+    work = tempfile.mkdtemp(prefix="s3_sink_q_")
+    flat = _flat_log_records(spark, sf_dir).drop("event_id")
+    write_s3_objects(flat, work, marshaler="body").collect()
+    return read_s3_body_objects(spark, work)
+
+
+_SQL_S3_BODY = """
+SELECT 'evt <' || event_id || '> ' || event_type AS body,
+       CAST(2024 AS INT) AS year, CAST(1 AS INT) AS month,
+       CAST(1 AS INT) AS day,
+       CAST((event_id % 86400) // 3600 AS INT) AS hour,
+       CAST((event_id % 3600) // 60 AS INT) AS minute
+FROM events
+"""
+
+
+def _q_s3_sumo_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awss3exporter ``marshaler: sumo_ic`` bytes (`sumo_marshaler.go:
+    76-154`): per-record JSON line with the ``_source*`` resource
+    attributes lifted out, remaining resource attrs as sorted-key
+    ``fields``, and the attributes+body map as ``message`` — Go
+    ``encoding/json`` escaping, so ``<``/``>`` in the body surface as
+    ``\\u003c``/``\\u003e`` (the oracle pins those escapes literally)."""
+    from .operators.s3_exporter import sumo_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flat = ev.select(
+        (
+            (F.lit(1704067200) + F.col("event_id") % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        F.concat(
+            F.lit("evt <"), F.col("event_id").cast("string"),
+            F.lit("> "), F.col("event_type"),
+        ).alias("body"),
+        F.create_map(
+            F.lit("k"), (F.col("event_id") % 5).cast("string")
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("_sourceCategory"),
+            F.concat(F.lit("cat"), (F.col("event_id") % 2).cast("string")),
+            F.lit("_sourceHost"),
+            F.concat(F.lit("h"), (F.col("event_id") % 3).cast("string")),
+            F.lit("_sourceName"), F.lit("app"),
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (F.col("event_id") % 3).cast("string")),
+        ).alias("resource"),
+    )
+    return sumo_lines(flat).select(F.col("value").alias("value_str"))
+
+
+_SQL_S3_SUMO = """
+SELECT '{"date": "'
+       || strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                   '%Y-%m-%d %H:%M:%S')
+       || ' +0000 UTC","sourceName":"app","sourceHost":"h'
+       || (event_id % 3) || '","sourceCategory":"cat' || (event_id % 2)
+       || '","fields":{"service.name":"svc' || (event_id % 3) || '"}'
+       || ',"message":{"k":"' || (event_id % 5)
+       || '","log":"evt \\u003c' || event_id || '\\u003e ' || event_type
+       || '"}}' AS value_str
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4403,6 +4605,10 @@ REGISTRY: list[Query] = [
         _SQL_KAFKA_OTLP_JSON,
     ),
     Query("k8s_dynamic_enrich", _q_k8s_dynamic_enrich, _SQL_K8S_DYNAMIC),
+    Query("es_bulk_marshal", _q_es_bulk_marshal, _SQL_ES_BULK),
+    Query("es_ecs_dynamic", _q_es_ecs_dynamic, _SQL_ES_ECS),
+    Query("s3_body_sink", _q_s3_body_sink, _SQL_S3_BODY),
+    Query("s3_sumo_marshal", _q_s3_sumo_marshal, _SQL_S3_SUMO),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
