@@ -4547,6 +4547,110 @@ FROM events
 """
 
 
+def _q_loki_json_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """loki translator JSON entries (`pkg/translator/loki/`): default
+    labels (exporter/job) + the severity-derived ``level`` label
+    (promoted THEN removed from the line's attributes), prometheus-
+    normalized name-sorted label-set string, and the lokiEntry JSON line
+    in struct order with encoding/json escaping — all rebuilt by the
+    oracle, incl. the severity→level band table over all 24 values and
+    the all-zero id omission at event_id 0."""
+    from .operators.loki_exporter import loki_entries
+
+    ensure_shipped(spark)
+    flat = _flat_log_records(spark, sf_dir).drop("event_id")
+    return loki_entries(flat).select("tenant", "labels", "ts_ns", "line")
+
+
+_SQL_LOKI_JSON = """
+WITH base AS (
+  SELECT event_id, event_type,
+         CASE (event_id % 24) // 4
+           WHEN 0 THEN 'TRACE' WHEN 1 THEN 'DEBUG' WHEN 2 THEN 'INFO'
+           WHEN 3 THEN 'WARN' WHEN 4 THEN 'ERROR' ELSE 'FATAL'
+         END || CASE WHEN (event_id % 24) % 4 = 0 THEN ''
+                     ELSE CAST((event_id % 24) % 4 + 1 AS VARCHAR) END
+           AS lvl
+  FROM events
+)
+SELECT '' AS tenant,
+       '{exporter="OTLP", job="svc' || (event_id % 3) || '", level="'
+         || lvl || '"}' AS labels,
+       CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT) AS ts_ns,
+       '{"body":"evt \\u003c' || event_id || '\\u003e ' || event_type || '",'
+       || CASE WHEN event_id = 0 THEN '' ELSE
+            '"traceid":"' || lpad(lower(to_hex(event_id)), 32, '0')
+            || '","spanid":"' || lpad(lower(to_hex(event_id)), 16, '0')
+            || '",'
+          END
+       || '"severity":"' || event_type || '",'
+       || '"attributes":{"k":"' || (event_id % 5) || '"},'
+       || '"resources":{"service.name":"svc' || (event_id % 3) || '"},'
+       || '"instrumentation_scope":{"name":"recv/otlp"}}' AS line
+FROM base
+"""
+
+
+def _q_splunk_hec_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """splunkhecexporter HEC event JSON (`logdata_to_splunk.go:26-101`,
+    `internal/splunk/common.go:43-51`): host/index lifted from the
+    ``host.name`` / ``com.splunk.index`` attributes, severity + trace
+    ids into ``fields``, body as ``event``, ns time as epoch seconds,
+    struct field order with omitempty — oracle rebuilds every byte
+    (fields key-sorted per the module's documented determinism pin)."""
+    from .operators.splunk_exporter import hec_events
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flat = ev.select(
+        (
+            (F.lit(1704067200) + F.col("event_id") % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        (F.col("event_id") % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(
+            F.lit("evt <"), F.col("event_id").cast("string"),
+            F.lit("> "), F.col("event_type"),
+        ).alias("body"),
+        F.create_map(
+            F.lit("k"), (F.col("event_id") % 5).cast("string")
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("host.name"),
+            F.concat(F.lit("h"), (F.col("event_id") % 4).cast("string")),
+            F.lit("com.splunk.index"), F.lit("main"),
+        ).alias("resource"),
+        F.lpad(F.lower(F.conv(F.col("event_id").cast("string"), 10, 16)),
+               32, "0").alias("trace_id"),
+        F.lpad(F.lower(F.conv(F.col("event_id").cast("string"), 10, 16)),
+               16, "0").alias("span_id"),
+    )
+    return hec_events(flat).select(
+        F.col("index").alias("hec_index"), "host",
+        F.col("value").alias("value_str"),
+    )
+
+
+_SQL_SPLUNK_HEC = """
+SELECT 'main' AS hec_index,
+       'h' || (event_id % 4) AS host,
+       '{"time":' || (1704067200 + event_id % 86400)
+       || ',"host":"h' || (event_id % 4) || '","index":"main"'
+       || ',"event":"evt \\u003c' || event_id || '\\u003e ' || event_type
+       || '","fields":{"k":"' || (event_id % 5)
+       || '","otel.log.severity.number":' || (event_id % 24 + 1)
+       || ',"otel.log.severity.text":"' || event_type || '"'
+       || CASE WHEN event_id = 0 THEN '' ELSE
+            ',"span_id":"' || lpad(lower(to_hex(event_id)), 16, '0')
+            || '","trace_id":"' || lpad(lower(to_hex(event_id)), 32, '0')
+            || '"'
+          END
+       || '}}' AS value_str
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4609,6 +4713,8 @@ REGISTRY: list[Query] = [
     Query("es_ecs_dynamic", _q_es_ecs_dynamic, _SQL_ES_ECS),
     Query("s3_body_sink", _q_s3_body_sink, _SQL_S3_BODY),
     Query("s3_sumo_marshal", _q_s3_sumo_marshal, _SQL_S3_SUMO),
+    Query("loki_json_entries", _q_loki_json_entries, _SQL_LOKI_JSON),
+    Query("splunk_hec_marshal", _q_splunk_hec_marshal, _SQL_SPLUNK_HEC),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),

@@ -80,26 +80,15 @@ def _fmt_ts(ns: int) -> str:
 
 
 def _jstr(s: str) -> str:
-    """structform-style minimal JSON string escaping (no HTML escapes)."""
-    out = ['"']
-    for ch in s:
-        o = ord(ch)
-        if ch == '"':
-            out.append('\\"')
-        elif ch == "\\":
-            out.append("\\\\")
-        elif ch == "\n":
-            out.append("\\n")
-        elif ch == "\r":
-            out.append("\\r")
-        elif ch == "\t":
-            out.append("\\t")
-        elif o < 0x20:
-            out.append(f"\\u{o:04x}")
-        else:
-            out.append(ch)
-    out.append('"')
-    return "".join(out)
+    """structform-style minimal JSON string escaping (no HTML escapes).
+
+    ``json.dumps(ensure_ascii=False)`` emits exactly this set — ``"``,
+    ``\\``, control chars (shorthand ``\\n/\\r/\\t/\\b/\\f`` where one
+    exists), everything else literal UTF-8 — and is C-implemented: the
+    marshal hot path is dominated by string escaping at bench scale."""
+    import json
+
+    return json.dumps(s, ensure_ascii=False)
 
 
 def _is_empty(v) -> bool:

@@ -59,6 +59,14 @@ def go_json_string(s: str) -> bytes:
     ``\\\\``, ``\\n/\\r/\\t``, ``\\u00XX`` for other control chars,
     literal UTF-8 passthrough) matches.
     """
+    import json
+    import re
+
+    # fast path: C-implemented json.dumps matches Go byte-for-byte except
+    # for Go's extra HTML/U+2028-29 escapes — only escape-loop strings
+    # that actually contain one of those (rare in log bodies)
+    if not re.search("[<>&\u2028\u2029\b\f]", s):
+        return json.dumps(s, ensure_ascii=False).encode("utf-8")
     out = ["\""]
     for ch in s:
         o = ord(ch)

@@ -1,12 +1,22 @@
-"""One-shot throughput measurement of the kafka otlp_proto marshal path
-at bench scale (20M rows) — evidence that the pure-Python wire codec,
-which is row-iterating by necessity (protobuf byte assembly, same sink
-boundary as the webdataset tar writer), still clears the reference's
-10k items/s testbed gate by orders of magnitude when Arrow-fed and
-sharded (`splits` bounds per-message size AND gives the stage its
-parallelism).
+"""One-shot throughput measurement of sink marshal paths at bench scale
+(20M rows) — evidence that the pure-Python byte assembly, which is
+row-iterating by necessity (wire codecs, same sink boundary as the
+webdataset tar writer), still clears the reference's 10k items/s testbed
+gate by orders of magnitude when Arrow-fed and sharded (`splits` bounds
+per-message size AND gives the stage its parallelism).
 
-Usage: python tools/marshal_throughput.py [rows] [splits]
+Modes: ``kafka`` (otlp_proto messages, default), ``es`` (elasticsearch
+bulk NDJSON), ``loki`` (translator JSON entries), ``hec`` (splunk HEC
+events) — the last three are pure maps, no grouping exchange at all.
+
+The flat input is STAGED TO PARQUET first and the timed window starts at
+the parquet scan (the dup_spans-runner discipline: staging excluded, so
+the number is marshal + honest scan IO, not synthetic-generation cost —
+measured: chaining the tokengen mapInPandas python stage directly into
+the marshal python stage costs ~5× at 1M rows because every ~1 KB body
+crosses the JVM↔Python Arrow pipe twice in one task).
+
+Usage: python tools/marshal_throughput.py [rows] [splits] [kafka|es]
 Prints one MARSHAL json line.
 """
 
@@ -20,6 +30,7 @@ sys.path.insert(0, REPO)
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000_000
 SPLITS = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+MODE = sys.argv[3] if len(sys.argv) > 3 else "kafka"
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
@@ -54,14 +65,41 @@ def main() -> None:
         F.lit("").alias("trace_id"),
         F.lit("").alias("span_id"),
     )
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="marshal_stage_")
+    flat.write.mode("overwrite").parquet(stage_dir)
+    flat = spark.read.parquet(stage_dir)
     t0 = time.time()
-    msgs = kafka_messages(flat, "otel-logs", encoding="otlp_proto", splits=SPLITS)
+    if MODE == "es":
+        from opentelemetry_collector_contrib_spark.operators.es_exporter import (
+            es_bulk_messages,
+        )
+
+        msgs = es_bulk_messages(flat)
+    elif MODE == "loki":
+        from opentelemetry_collector_contrib_spark.operators.loki_exporter import (
+            loki_entries,
+        )
+
+        msgs = loki_entries(flat).select(F.col("line").alias("value"))
+    elif MODE == "hec":
+        from opentelemetry_collector_contrib_spark.operators.splunk_exporter import (
+            hec_events,
+        )
+
+        msgs = hec_events(flat)
+    else:
+        msgs = kafka_messages(
+            flat, "otel-logs", encoding="otlp_proto", splits=SPLITS
+        )
     row = msgs.agg(
         F.count(F.lit(1)).alias("messages"),
         F.sum(F.length("value")).alias("bytes"),
     ).collect()[0]
     wall = time.time() - t0
     print("MARSHAL " + json.dumps({
+        "mode": MODE,
         "rows": N,
         "splits": SPLITS,
         "messages": row["messages"],
