@@ -4651,6 +4651,88 @@ FROM events
 """
 
 
+def _q_syslog_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslogexporter RFC 5424 rendering (`rfc5424_formatter.go:25-41`,
+    attribute-sourced fields with '-'/165/1 defaults per `sender.go:
+    16-32`) — the inverse of the syslog_parser operator; the oracle
+    rebuilds every byte incl. the RFC3339 timestamp and the trailing
+    newline."""
+    from .operators.syslog_exporter import syslog_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    flat = ev.select(
+        (
+            (F.lit(1704067200) + F.col("event_id") % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        F.create_map(
+            F.lit("priority"), (F.col("event_id") % 192).cast("string"),
+            F.lit("hostname"),
+            F.concat(F.lit("h"), (F.col("event_id") % 7).cast("string")),
+            F.lit("appname"),
+            F.concat(F.lit("app"), (F.col("event_id") % 3).cast("string")),
+            F.lit("proc_id"), (F.col("event_id") % 1000).cast("string"),
+            F.lit("msg_id"),
+            F.concat(F.lit("M"), (F.col("event_id") % 10).cast("string")),
+            F.lit("message"),
+            F.concat(F.lit("evt <"), F.col("event_id").cast("string"),
+                     F.lit("> "), F.col("event_type")),
+        ).alias("attributes"),
+    )
+    return syslog_lines(flat, protocol="rfc5424").select(
+        F.col("value").alias("value_str")
+    )
+
+
+_SQL_SYSLOG_RENDER = """
+SELECT '<' || (event_id % 192) || '>1 '
+       || strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                   '%Y-%m-%dT%H:%M:%S') || 'Z'
+       || ' h' || (event_id % 7)
+       || ' app' || (event_id % 3)
+       || ' ' || (event_id % 1000)
+       || ' M' || (event_id % 10)
+       || ' - evt <' || event_id || '> ' || event_type
+       || chr(10) AS value_str
+FROM events
+"""
+
+
+def _q_prom_text_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prometheusexporter text exposition over the count connector's
+    output (`collector.go:112-137` label mapping + client expfmt lines):
+    count log records per (severity, source) and render one
+    ``log_record_count{...} N`` series line each — name-sorted escaped
+    labels, integral values bare. Pure codegen end to end (aggregation +
+    string assembly, zero Python)."""
+    from .operators.prometheus_exporter import prometheus_series_lines
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.select(
+            F.col("event_type").alias("severity_text"),
+            F.concat(F.lit("s"), (F.col("event_id") % 3).cast("string"))
+            .alias("source"),
+        )
+        .groupBy("severity_text", "source")
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    return prometheus_series_lines(
+        counts, "log.record.count",
+        label_cols=["severity_text", "source"],
+        const_labels={"exporter": "otel"},
+    ).select(F.col("line").alias("line"))
+
+
+_SQL_PROM_TEXT = """
+SELECT 'log_record_count{exporter="otel",severity_text="' || event_type
+       || '",source="s' || (event_id % 3) || '"} ' || COUNT(*) AS line
+FROM events
+GROUP BY event_type, event_id % 3
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4715,6 +4797,8 @@ REGISTRY: list[Query] = [
     Query("s3_sumo_marshal", _q_s3_sumo_marshal, _SQL_S3_SUMO),
     Query("loki_json_entries", _q_loki_json_entries, _SQL_LOKI_JSON),
     Query("splunk_hec_marshal", _q_splunk_hec_marshal, _SQL_SPLUNK_HEC),
+    Query("syslog_render", _q_syslog_render, _SQL_SYSLOG_RENDER),
+    Query("prom_text_counts", _q_prom_text_counts, _SQL_PROM_TEXT),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),

@@ -444,6 +444,16 @@ _REC_COLS = (
     "span_id",
 )
 
+# optional flat-record columns passed through when the input carries
+# them, so TraceFlags / the observed-ts fallback / scope version+attrs
+# serialize instead of silently defaulting
+_OPT_COLS = (
+    "flags",
+    "observed_time_unix_nano",
+    "scope_version",
+    "scope_attributes",
+)
+
 
 def es_bulk_messages(
     df: DataFrame,
@@ -472,6 +482,8 @@ def es_bulk_messages(
         if c not in cols:
             work = work.withColumn(c, F.lit(""))
 
+    rec_cols = list(_REC_COLS) + [c for c in _OPT_COLS if c in cols]
+
     @F.pandas_udf(_BULK_SCHEMA)
     def marshal(struct: pd.DataFrame) -> pd.DataFrame:
         idxs, vals = [], []
@@ -479,6 +491,10 @@ def es_bulk_messages(
             rec = dict(zip(struct.columns, row))
             rec["attributes"] = dict(rec.get("attributes") or {})
             rec["resource"] = dict(rec.get("resource") or {})
+            if "scope_attributes" in rec:
+                rec["scope_attributes"] = dict(
+                    rec.get("scope_attributes") or {}
+                )
             fidx = resolve_index(
                 rec,
                 index=index,
@@ -492,6 +508,6 @@ def es_bulk_messages(
             vals.append(bulk_create_action(fidx) + b"\n" + doc + b"\n")
         return pd.DataFrame({"index": idxs, "value": vals})
 
-    res = marshal(F.struct(*[F.col(c) for c in _REC_COLS]))
+    res = marshal(F.struct(*[F.col(c) for c in rec_cols]))
     return work.select(res.getField("index").alias("index"),
                        res.getField("value").alias("value"))

@@ -91,10 +91,16 @@ def severity_level(severity_number: int) -> str:
 
 
 def normalize_label(label: str) -> str:
-    """prometheus NormalizeLabel (`normalize_label.go:27-53`)."""
+    """prometheus NormalizeLabel (`normalize_label.go:27-53`) — the
+    sanitize rune set is ASCII [a-zA-Z0-9] (Go unicode.IsLetter admits
+    more, but prometheus label names only allow ASCII; the reference's
+    sanitizeRune is reached through strings.Map over the label and any
+    non-[a-zA-Z0-9_] byte must become '_' for the name to be valid)."""
     if not label:
         return label
-    out = "".join(ch if ch.isalnum() else "_" for ch in label)
+    out = "".join(
+        ch if (ch.isascii() and ch.isalnum()) else "_" for ch in label
+    )
     if out[0].isdigit():
         out = "key_" + out
     elif out.startswith("_") and not out.startswith("__"):
@@ -102,10 +108,36 @@ def normalize_label(label: str) -> str:
     return out
 
 
+_GO_QUOTE_SHORT = {
+    "\a": "\\a", "\b": "\\b", "\f": "\\f", "\n": "\\n",
+    "\r": "\\r", "\t": "\\t", "\v": "\\v",
+}
+
+
 def _go_quote(s: str) -> str:
-    """Go ``%q`` for label values in LabelSet.String() — for the
-    printable strings labels hold this is Go-JSON quoting."""
-    return go_json_string(s).decode("utf-8")
+    """Go ``strconv.Quote`` (``%q``) for label values in
+    LabelSet.String() and logfmt quoting — unlike encoding/json it does
+    NOT HTML-escape (``<>&`` stay literal) and uses the ``\\a``/``\\v``
+    shorthands plus ``\\xNN`` for other control bytes."""
+    import re
+
+    if not re.search(r'["\\\x00-\x1f\x7f]', s):
+        return '"' + s + '"'
+    out = ['"']
+    for ch in s:
+        o = ord(ch)
+        if ch == '"':
+            out.append('\\"')
+        elif ch == "\\":
+            out.append("\\\\")
+        elif ch in _GO_QUOTE_SHORT:
+            out.append(_GO_QUOTE_SHORT[ch])
+        elif o < 0x20 or o == 0x7F:
+            out.append(f"\\x{o:02x}")
+        else:
+            out.append(ch)
+    out.append('"')
+    return "".join(out)
 
 
 def label_set_string(labels: dict) -> str:
@@ -426,6 +458,17 @@ _REC_COLS = (
     "span_id",
 )
 
+# optional flat-record columns (the OTLP readers emit observed ts and
+# flags; scope version/attributes appear on richer schemas) — passed
+# through when present so the observed-fallback / flags / scope fields
+# actually fire
+_OPT_COLS = (
+    "observed_time_unix_nano",
+    "flags",
+    "scope_version",
+    "scope_attributes",
+)
+
 
 def loki_entries(
     df: DataFrame, default_labels_enabled: dict | None = None
@@ -445,6 +488,7 @@ def loki_entries(
                     else "long"
                 ),
             )
+    cols = list(_REC_COLS) + [c for c in _OPT_COLS if c in df.columns]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -453,6 +497,10 @@ def loki_entries(
                 rec = dict(zip(pdf.columns, row))
                 rec["attributes"] = dict(rec.get("attributes") or {})
                 rec["resource"] = dict(rec.get("resource") or {})
+                if "scope_attributes" in rec:
+                    rec["scope_attributes"] = dict(
+                        rec.get("scope_attributes") or {}
+                    )
                 e = log_to_loki_entry(rec, default_labels_enabled)
                 if e is not None:
                     rows.append(e)
@@ -460,7 +508,7 @@ def loki_entries(
                 rows, columns=[f.name for f in _ENTRY_SCHEMA.fields]
             )
 
-    return work.select(*_REC_COLS).mapInPandas(gen, _ENTRY_SCHEMA)
+    return work.select(*cols).mapInPandas(gen, _ENTRY_SCHEMA)
 
 
 _STREAM_SCHEMA = T.StructType(

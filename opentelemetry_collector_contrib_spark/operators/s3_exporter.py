@@ -235,8 +235,19 @@ def write_s3_objects(
         raise ValueError(f"unknown marshaler {marshaler!r}")
     fmt = _FORMATS[marshaler]
     os.makedirs(bucket_root, exist_ok=True)
-    if "scope_name" not in df.columns:
-        df = df.withColumn("scope_name", F.lit(""))
+    # default the flat-record columns a thin input (e.g. body-only) may
+    # lack — the sort key and shard hash reference them unconditionally
+    for c, d in (
+        ("scope_name", F.lit("")),
+        ("trace_id", F.lit("")),
+        ("span_id", F.lit("")),
+        ("severity_text", F.lit("")),
+        ("severity_number", F.lit(None).cast("int")),
+        ("attributes", F.lit(None).cast("map<string,string>")),
+        ("resource", F.lit(None).cast("map<string,string>")),
+    ):
+        if c not in df.columns:
+            df = df.withColumn(c, d)
     ts = F.timestamp_micros(F.expr("time_unix_nano div 1000"))
     keyed = df.withColumn("__tkey", time_partition_key(ts, s3_partition))
     gcols = ["__tkey"]
@@ -293,7 +304,12 @@ def sumo_lines(df: DataFrame) -> DataFrame:
     """Marshal-only sumo_ic surface: one JSON line per record as a
     ``value`` string column (`sumo_marshaler.go:76-140`), a PURE MAP —
     the byte surface of :func:`write_s3_objects` without the file write,
-    for golden/oracle checks and for piping into other sinks."""
+    for golden/oracle checks and for piping into other sinks. The date
+    prefers ``observed_time_unix_nano`` when the input carries it
+    (`sumo_marshaler.go:127` uses ObservedTimestamp)."""
+    cols = list(_SUMO_COLS)
+    if "observed_time_unix_nano" in df.columns:
+        cols.append("observed_time_unix_nano")
 
     @F.pandas_udf(T.StringType())
     def marshal(struct: pd.DataFrame) -> pd.Series:
@@ -306,7 +322,7 @@ def sumo_lines(df: DataFrame) -> DataFrame:
         return pd.Series(out, dtype=object)
 
     return df.select(
-        marshal(F.struct(*[F.col(c) for c in _SUMO_COLS])).alias("value")
+        marshal(F.struct(*[F.col(c) for c in cols])).alias("value")
     )
 
 

@@ -16,8 +16,9 @@ measured: chaining the tokengen mapInPandas python stage directly into
 the marshal python stage costs ~5× at 1M rows because every ~1 KB body
 crosses the JVM↔Python Arrow pipe twice in one task).
 
-Usage: python tools/marshal_throughput.py [rows] [splits] [kafka|es]
-Prints one MARSHAL json line.
+Usage: python tools/marshal_throughput.py [rows] [splits] [kafka|es|loki|hec]
+(``splits`` only applies to kafka — the pure-map modes ignore it and
+report splits=null). Prints one MARSHAL json line.
 """
 
 import json
@@ -65,9 +66,13 @@ def main() -> None:
         F.lit("").alias("trace_id"),
         F.lit("").alias("span_id"),
     )
+    import shutil
     import tempfile
 
     stage_dir = tempfile.mkdtemp(prefix="marshal_stage_")
+    import atexit
+
+    atexit.register(shutil.rmtree, stage_dir, ignore_errors=True)
     flat.write.mode("overwrite").parquet(stage_dir)
     flat = spark.read.parquet(stage_dir)
     t0 = time.time()
@@ -101,7 +106,7 @@ def main() -> None:
     print("MARSHAL " + json.dumps({
         "mode": MODE,
         "rows": N,
-        "splits": SPLITS,
+        "splits": SPLITS if MODE == "kafka" else None,
         "messages": row["messages"],
         "marshaled_bytes": int(row["bytes"]),
         "wall_s": round(wall, 1),
