@@ -4289,6 +4289,37 @@ FROM events
 """
 
 
+def _q_kafka_receive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kafkareceiver ``encoding: otlp_proto`` (the default,
+    `receiver/kafkareceiver/unmarshaler.go:75-93`): marshal flat records
+    into producer messages with the exporter half
+    (`pdata_marshaler.go:21-43`), then unmarshal the message VALUES back
+    through the receiver half — plog wire bytes are the only carrier, so
+    the oracle (the original record set) value-checks BOTH directions of
+    the proto codec plus the (resource, scope) message grouping."""
+    from .operators.kafka_exporter import kafka_messages
+    from .sources.kafka_receiver import kafka_log_records
+
+    ensure_shipped(spark)
+    flat = _flat_log_records(spark, sf_dir).drop("event_id")
+    msgs = kafka_messages(flat, "otel-logs", encoding="otlp_proto")
+    back = kafka_log_records(msgs, "otlp_proto")
+    return back.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("resource")["service.name"].alias("service_name"),
+        "scope_name",
+        "trace_id",
+        "span_id",
+    )
+
+
+_SQL_KAFKA_RECEIVE = f"SELECT {_FLAT_ORACLE_COLS} FROM events"
+
+
 def _q_k8s_dynamic_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k8sattributes DYNAMIC store (watch-fed,
     `processor/k8sattributesprocessor/internal/kube/client.go:373`): two
@@ -4799,6 +4830,11 @@ REGISTRY: list[Query] = [
     Query("splunk_hec_marshal", _q_splunk_hec_marshal, _SQL_SPLUNK_HEC),
     Query("syslog_render", _q_syslog_render, _SQL_SYSLOG_RENDER),
     Query("prom_text_counts", _q_prom_text_counts, _SQL_PROM_TEXT),
+    Query(
+        "kafka_receive_roundtrip",
+        _q_kafka_receive_roundtrip,
+        _SQL_KAFKA_RECEIVE,
+    ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
