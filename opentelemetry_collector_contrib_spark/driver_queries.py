@@ -4320,6 +4320,94 @@ def _q_kafka_receive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_KAFKA_RECEIVE = f"SELECT {_FLAT_ORACLE_COLS} FROM events"
 
 
+def _q_fluent_receive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fluentforward receiver (`receiver/fluentforwardreceiver`): encode
+    the events table into forward-protocol event streams — all three
+    carrier modes by event_id % 3 (message / forward / gzip'd
+    packedforward, the modes `server.go:140-202` detects by peeking the
+    second array element), EventTime ext timestamps on the message-mode
+    rows (`timeext.go:35-43`), int-seconds on the rest — then decode the
+    streams back through ``fluent_log_records``. The oracle recomputes
+    every field straight from the table, so the msgpack codec, the mode
+    framing, the deterministic gzip member, EventTime nanos, and the
+    message/log→body rule (`conversion.go:171-176`) are value-checked in
+    both directions. Stream assembly is ONE bounded exchange (events per
+    (type, mode, shard) group); the decode itself is zero-shuffle."""
+    import pandas as pd
+
+    from .sources.fluentforward import (
+        EventTime,
+        encode_event,
+        fluent_log_records,
+    )
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "event_type",
+        (F.col("event_id") % 3).alias("mode_i"),
+        (F.col("event_id") % 7).alias("grp"),
+    )
+
+    def to_events(key, pdf):
+        event_type, mode_i, _grp = key
+        tag = f"app.{event_type}"
+        pdf = pdf.sort_values("event_id")
+        entries = []
+        for eid in pdf["event_id"]:
+            eid = int(eid)
+            sec = 1704067200 + eid % 86400
+            rec = {
+                "log": f"evt <{eid}> {event_type}",
+                "k": str(eid % 5),
+                "n": eid,
+            }
+            ts = (
+                EventTime(sec, (eid * 7919) % 1_000_000_000)
+                if mode_i == 0
+                else sec
+            )
+            entries.append((ts, rec))
+        if mode_i == 0:
+            blobs = [
+                encode_event(tag, [e], mode="message") for e in entries
+            ]
+        elif mode_i == 1:
+            blobs = [encode_event(tag, entries, mode="forward")]
+        else:
+            blobs = [
+                encode_event(
+                    tag, entries, mode="packedforward", compressed=True
+                )
+            ]
+        return pd.DataFrame({"value": blobs})
+
+    streams = ev.groupBy("event_type", "mode_i", "grp").applyInPandas(
+        to_events, "value binary"
+    )
+    back = fluent_log_records(streams)
+    return back.select(
+        "tag",
+        "time_unix_nano",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("attributes")["n"].alias("attr_n"),
+    )
+
+
+_SQL_FLUENT_RECEIVE = """
+SELECT 'app.' || event_type AS tag,
+       CAST(1704067200 + event_id % 86400 AS BIGINT) * 1000000000
+         + CASE WHEN event_id % 3 = 0
+                THEN (event_id * 7919) % 1000000000 ELSE 0 END
+         AS time_unix_nano,
+       'evt <' || event_id || '> ' || event_type AS body,
+       CAST(event_id % 5 AS VARCHAR) AS attr_k,
+       CAST(event_id AS VARCHAR) AS attr_n
+FROM events
+"""
+
+
 def _q_k8s_dynamic_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k8sattributes DYNAMIC store (watch-fed,
     `processor/k8sattributesprocessor/internal/kube/client.go:373`): two
@@ -4834,6 +4922,11 @@ REGISTRY: list[Query] = [
         "kafka_receive_roundtrip",
         _q_kafka_receive_roundtrip,
         _SQL_KAFKA_RECEIVE,
+    ),
+    Query(
+        "fluent_receive_roundtrip",
+        _q_fluent_receive_roundtrip,
+        _SQL_FLUENT_RECEIVE,
     ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),

@@ -86,6 +86,14 @@ def _merge_value(fields: dict, key: str, v) -> None:
         fields[key] = v
 
 
+def _as_int(v) -> int:
+    """None / pandas-NaN (what a filled-in missing column yields in the
+    Arrow batch) / numeric → int; NaN is truthy so `v or 0` won't do."""
+    if v is None or v != v:
+        return 0
+    return int(v)
+
+
 def map_record_to_hec_event(
     rec: dict,
     *,
@@ -106,8 +114,8 @@ def map_record_to_hec_event(
         fields["trace_id"] = tid
     if rec.get("severity_text"):
         fields[_SEV_TEXT_FIELD] = rec["severity_text"]
-    if int(rec.get("severity_number") or 0):
-        fields[_SEV_NUM_FIELD] = int(rec["severity_number"])
+    if _as_int(rec.get("severity_number")):
+        fields[_SEV_NUM_FIELD] = _as_int(rec["severity_number"])
     for attrs in (rec.get("resource") or {}, rec.get("attributes") or {}):
         for k, v in dict(attrs).items():
             if k == _HOST_KEY:
@@ -123,7 +131,7 @@ def map_record_to_hec_event(
             else:
                 _merge_value(fields, k, v)
     body = rec.get("body")
-    ns = int(rec.get("time_unix_nano") or 0)
+    ns = _as_int(rec.get("time_unix_nano"))
     # round ns to ms, then express as epoch seconds
     ms = (ns + 500_000) // 1_000_000
     return {
