@@ -4852,6 +4852,182 @@ GROUP BY event_type, event_id % 3
 """
 
 
+def _q_metrics_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricstransform processor (`processor/metricstransformprocessor/
+    metrics_transform_processor_otlp.go:229-297`): flat gauge datapoints
+    derived from events (`sys_<type>_total`, cents values, day timestamps,
+    a `u` shard label) run an UPDATE transform (scale ×2 + add_label on
+    the error metric, `operation_scale_value.go` / `operation_add_label.go`)
+    then a COMBINE transform — the regexp's named capture group becomes an
+    upper-cased `kind` label on every datapoint and the matched metrics
+    merge into one sum-aggregated metric (`:399-436` + groupMetrics). The
+    oracle replays scale/label/combine/merge in plain SQL. One exchange
+    total (the combine merge groupBy); everything else is pure codegen."""
+    from .operators.metrics_transform import (
+        MetricFilter,
+        Operation,
+        Transform,
+        metrics_transform,
+    )
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dps = ev.select(
+        F.concat(F.lit("sys_"), F.col("event_type"), F.lit("_total")).alias(
+            "metric_name"
+        ),
+        F.lit("1").alias("unit"),
+        F.lit("gauge").alias("metric_type"),
+        F.lit("").alias("temporality"),
+        F.lit(False).alias("monotonic"),
+        F.lit("int").alias("value_type"),
+        F.create_map(
+            F.lit("u"), (F.col("user_id") % 5).cast("string")
+        ).alias("attributes"),
+        F.lit(0).cast("long").alias("start_time_unix"),
+        (F.floor(F.unix_timestamp("ts") / 86400) * 86400)
+        .cast("long")
+        .alias("time_unix"),
+        F.round(F.col("value") * 100).cast("long").alias("value"),
+    )
+    out = metrics_transform(
+        dps,
+        [
+            Transform(
+                include=MetricFilter("sys_error_total"),
+                action="update",
+                operations=[
+                    Operation("scale_value", scale_num=2, scale_den=1),
+                    Operation("add_label", new_label="sev", new_value="hi"),
+                ],
+            ),
+            Transform(
+                include=MetricFilter(r"^sys_(?P<kind>[a-z]+)_total$", "regexp"),
+                action="combine",
+                new_name="sys.ops",
+                aggregation_type="sum",
+                submatch_case="upper",
+            ),
+        ],
+    )
+    return out.select(
+        "metric_name",
+        F.col("attributes").getItem("kind").alias("kind"),
+        F.col("attributes").getItem("u").alias("u"),
+        F.col("attributes").getItem("sev").alias("sev"),
+        "time_unix",
+        F.col("value").alias("value_sum"),
+    )
+
+
+_SQL_METRICS_TRANSFORM = """
+WITH dp AS (
+  SELECT event_type,
+         CAST(user_id % 5 AS VARCHAR) AS u,
+         CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day_ts,
+         CAST(round(value*100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT 'sys.ops' AS metric_name,
+       upper(event_type) AS kind,
+       u,
+       CASE WHEN event_type = 'error' THEN 'hi' END AS sev,
+       day_ts AS time_unix,
+       SUM(CASE WHEN event_type = 'error' THEN cents * 2 ELSE cents END)
+         AS value_sum
+FROM dp
+GROUP BY event_type, u, day_ts
+"""
+
+
+def _q_metrics_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """metricsgeneration processor (`processor/metricsgenerationprocessor/
+    processor.go:41-74`): per user (the ResourceMetrics group analog) the
+    events table yields two gauges — `evt.cents` (one dp per event) and
+    `evt.base` ((event_id % 50) + 1). A calculate/percent rule divides
+    every evt.cents dp by the FIRST evt.base datapoint of the group
+    (`utils.go:26-41`; first = min (time, value) — deterministic table
+    analog of pdata slice order) emitting integer fixed-point (×FP); a
+    scale rule floors evt.cents × 3/7. Groups whose operand2 <= 0 are
+    skipped (`processor.go:60-66`; none here, base >= 1). The operand2
+    aggregate is group-count-bounded and broadcast — payload rows never
+    shuffle."""
+    from .operators.metrics_transform import GenerationRule, generate_metrics
+
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    base = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").cast("long").alias("time_unix"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        ((F.col("event_id") % 50) + 1).cast("long").alias("base"),
+    )
+    mk = lambda name, val: base.select(  # noqa: E731
+        F.lit(name).alias("metric_name"),
+        F.lit("1").alias("unit"),
+        F.lit("gauge").alias("metric_type"),
+        F.lit("").alias("temporality"),
+        F.lit(False).alias("monotonic"),
+        F.lit("int").alias("value_type"),
+        F.create_map().cast("map<string,string>").alias("attributes"),
+        F.lit(0).cast("long").alias("start_time_unix"),
+        "time_unix",
+        F.col(val).alias("value"),
+        "user_id",
+    )
+    dps = mk("evt.cents", "cents").unionByName(mk("evt.base", "base"))
+    out = generate_metrics(
+        dps,
+        [
+            GenerationRule(
+                "evt.pct",
+                unit="%",
+                rule_type="calculate",
+                metric1="evt.cents",
+                metric2="evt.base",
+                operation="percent",
+            ),
+            GenerationRule(
+                "evt.scaled",
+                rule_type="scale",
+                metric1="evt.cents",
+                scale_num=3,
+                scale_den=7,
+            ),
+        ],
+        group_cols=["user_id"],
+    )
+    return out.select("metric_name", "user_id", "time_unix", "value")
+
+
+_SQL_METRICS_GENERATE = """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS time_unix,
+         CAST(round(value*100) AS BIGINT) AS cents,
+         (event_id % 50) + 1 AS b
+  FROM events
+), firsts AS (
+  SELECT user_id, b AS op2
+  FROM (SELECT user_id, b,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY time_unix, b) AS rn
+        FROM base) t
+  WHERE rn = 1 AND b > 0
+)
+SELECT 'evt.cents' AS metric_name, user_id, time_unix, cents AS value FROM base
+UNION ALL
+SELECT 'evt.base', user_id, time_unix, b FROM base
+UNION ALL
+SELECT 'evt.pct', base.user_id, time_unix,
+       CAST(floor(cents * 100 * 1000000.0 / op2) AS BIGINT)
+FROM base JOIN firsts ON base.user_id = firsts.user_id
+UNION ALL
+SELECT 'evt.scaled', user_id, time_unix,
+       CAST(floor(cents * 3.0 / 7) AS BIGINT)
+FROM base
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -4930,6 +5106,8 @@ REGISTRY: list[Query] = [
         _q_fluent_receive_roundtrip,
         _SQL_FLUENT_RECEIVE,
     ),
+    Query("metrics_transform", _q_metrics_transform, _SQL_METRICS_TRANSFORM),
+    Query("metrics_generate", _q_metrics_generate, _SQL_METRICS_GENERATE),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
