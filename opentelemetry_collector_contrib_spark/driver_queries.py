@@ -5028,6 +5028,80 @@ FROM base
 """
 
 
+def _q_sumologic_process(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumologicprocessor log path (`processor/sumologicprocessor/
+    processor.go:31-55` subprocessor order): cloud.namespace stamping
+    (`cloud_namespace_processor.go:66-80`), OTel→Sumo attribute renames
+    (`translate_attributes_processor.go`), prefix aggregation into a JSON
+    object attribute (`aggregate_attributes_processor.go:110-165`), and
+    log-fields conversion (loglevel from the 24-level severity table,
+    severitytext/spanid added when absent). Entirely pure map codegen —
+    zero exchanges; the oracle rebuilds every rule (incl. the JSON render
+    and the level table) in SQL."""
+    from .operators.sumologic import sumologic_process
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("cloud.platform"),
+            F.when(F.col("event_type") == "click", F.lit("aws_ec2"))
+            .when(F.col("event_type") == "view", F.lit("aws_ecs"))
+            .when(F.col("event_type") == "error", F.lit("aws_elastic_beanstalk"))
+            .otherwise(F.lit("gcp_compute_engine")),
+            F.lit("host.name"),
+            F.concat(F.lit("h"), (F.col("user_id") % 10).cast("string")),
+            F.lit("service.name"),
+            F.concat(F.lit("svc-"), F.col("event_type")),
+        ).alias("resource"),
+        F.create_map(
+            F.lit("pod_a"), (F.col("event_id") % 3).cast("string"),
+            F.lit("pod_b"), (F.col("event_id") % 5).cast("string"),
+            F.lit("keep"), F.col("event_type"),
+        ).alias("attributes"),
+        (F.col("event_id") % 25).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.lit(None).cast("string").alias("span_id"),
+        F.lit("").alias("trace_id"),
+    )
+    out = sumologic_process(df, aggregate=[("pods", ["pod_"])], log_fields=True)
+    return out.select(
+        "event_id",
+        F.col("resource").getItem("cloud.namespace").alias("cloud_ns"),
+        F.col("resource").getItem("aws_service").alias("aws_service"),
+        F.col("resource").getItem("host").alias("host"),
+        F.col("resource").getItem("service").alias("service"),
+        F.col("attributes").getItem("pods").alias("pods_json"),
+        F.col("attributes").getItem("keep").alias("keep"),
+        F.col("attributes").getItem("loglevel").alias("loglevel"),
+        F.col("attributes").getItem("severitytext").alias("severitytext"),
+        F.col("attributes").getItem("spanid").alias("spanid"),
+    )
+
+
+_SQL_SUMOLOGIC = """
+SELECT event_id,
+  CASE event_type WHEN 'click' THEN 'aws/ec2' WHEN 'view' THEN 'ecs'
+       WHEN 'error' THEN 'ElasticBeanstalk' END AS cloud_ns,
+  CASE event_type WHEN 'click' THEN 'aws_ec2' WHEN 'view' THEN 'aws_ecs'
+       WHEN 'error' THEN 'aws_elastic_beanstalk'
+       ELSE 'gcp_compute_engine' END AS aws_service,
+  'h' || (user_id % 10) AS host,
+  'svc-' || event_type AS service,
+  '{"a":"' || (event_id % 3) || '","b":"' || (event_id % 5) || '"}'
+    AS pods_json,
+  event_type AS keep,
+  CASE WHEN event_id % 25 = 0 THEN NULL ELSE
+    (['TRACE','TRACE2','TRACE3','TRACE4','DEBUG','DEBUG2','DEBUG3','DEBUG4',
+      'INFO','INFO2','INFO3','INFO4','WARN','WARN2','WARN3','WARN4',
+      'ERROR','ERROR2','ERROR3','ERROR4','FATAL','FATAL2','FATAL3','FATAL4']
+    )[CAST(event_id % 25 AS INT)] END AS loglevel,
+  event_type AS severitytext,
+  '' AS spanid
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5108,6 +5182,7 @@ REGISTRY: list[Query] = [
     ),
     Query("metrics_transform", _q_metrics_transform, _SQL_METRICS_TRANSFORM),
     Query("metrics_generate", _q_metrics_generate, _SQL_METRICS_GENERATE),
+    Query("sumologic_process", _q_sumologic_process, _SQL_SUMOLOGIC),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
