@@ -5102,6 +5102,116 @@ FROM events
 """
 
 
+def _q_loki_receive_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lokireceiver (`pkg/translator/loki/loki_to_otlp.go:19-82`): marshal
+    flat records into push entries with the exporter half (format hint
+    ``raw`` → line = body), then unmarshal the entries back through the
+    receiver half — the label-set string is the only carrier of the
+    exporter/job/level labels, so the oracle (recomputed straight from
+    the events table) value-checks the label serializer AND the promql
+    label parser, plus keepTimestamp and the __-internal filter."""
+    from .operators.loki_exporter import loki_entries
+    from .sources.loki_receiver import loki_log_records
+
+    ensure_shipped(spark)
+    flat = _flat_log_records(spark, sf_dir).drop("event_id").withColumn(
+        "attributes",
+        F.create_map(
+            F.lit("k"), F.col("attributes")["k"],
+            F.lit("loki.format"), F.lit("raw"),
+        ),
+    )
+    back = loki_log_records(loki_entries(flat))
+    return back.select(
+        "time_unix_nano",
+        "body",
+        F.col("attributes")["exporter"].alias("exporter"),
+        F.col("attributes")["job"].alias("job"),
+        F.col("attributes")["level"].alias("lvl"),
+    )
+
+
+_SQL_LOKI_RECEIVE = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         AS time_unix_nano,
+       'evt <' || event_id || '> ' || event_type AS body,
+       'OTLP' AS exporter,
+       'svc' || (event_id % 3) AS job,
+       CASE (event_id % 24) // 4
+         WHEN 0 THEN 'TRACE' WHEN 1 THEN 'DEBUG' WHEN 2 THEN 'INFO'
+         WHEN 3 THEN 'WARN' WHEN 4 THEN 'ERROR' ELSE 'FATAL'
+       END || CASE WHEN (event_id % 24) % 4 = 0 THEN ''
+                   ELSE CAST((event_id % 24) % 4 + 1 AS VARCHAR) END AS lvl
+FROM events
+"""
+
+
+def _q_splunk_hec_receive_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """splunkhecreceiver (`splunk_to_logdata.go:34-78`): marshal flat
+    records into HEC event JSON with the exporter half, then unmarshal
+    back through the receiver half — the event JSON is the only carrier,
+    so the oracle value-checks both directions: metadata lift →
+    ``hec_metadata_to_otel_attrs`` resource mapping, severity/trace
+    lifts → fields → record attributes, ns→s time → s→ns time (exact
+    here: the synthetic timestamps are whole seconds)."""
+    from .operators.splunk_exporter import hec_events
+    from .sources.splunk_receiver import hec_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    hexid = F.lower(F.conv(F.col("event_id").cast("string"), 10, 16))
+    flat = ev.select(
+        (
+            (F.lit(1704067200) + F.col("event_id") % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        (F.col("event_id") % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(
+            F.lit("evt <"), F.col("event_id").cast("string"),
+            F.lit("> "), F.col("event_type"),
+        ).alias("body"),
+        F.create_map(
+            F.lit("k"), (F.col("event_id") % 5).cast("string")
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("host.name"),
+            F.concat(F.lit("h"), (F.col("event_id") % 4).cast("string")),
+            F.lit("com.splunk.index"), F.lit("main"),
+        ).alias("resource"),
+        F.lpad(hexid, 32, "0").alias("trace_id"),
+        F.lpad(hexid, 16, "0").alias("span_id"),
+    )
+    back = hec_log_records(hec_events(flat))
+    return back.select(
+        "time_unix_nano",
+        "body",
+        F.col("resource")["host.name"].alias("host"),
+        F.col("resource")["com.splunk.index"].alias("hec_index"),
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("attributes")["otel.log.severity.text"].alias("sev_text"),
+        F.col("attributes")["otel.log.severity.number"].alias("sev_num"),
+        F.col("attributes")["trace_id"].alias("tid"),
+    )
+
+
+_SQL_SPLUNK_HEC_RECEIVE = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         AS time_unix_nano,
+       'evt <' || event_id || '> ' || event_type AS body,
+       'h' || (event_id % 4) AS host,
+       'main' AS hec_index,
+       CAST(event_id % 5 AS VARCHAR) AS attr_k,
+       event_type AS sev_text,
+       CAST(event_id % 24 + 1 AS VARCHAR) AS sev_num,
+       CASE WHEN event_id = 0 THEN NULL
+            ELSE lpad(lower(to_hex(event_id)), 32, '0') END AS tid
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5183,6 +5293,16 @@ REGISTRY: list[Query] = [
     Query("metrics_transform", _q_metrics_transform, _SQL_METRICS_TRANSFORM),
     Query("metrics_generate", _q_metrics_generate, _SQL_METRICS_GENERATE),
     Query("sumologic_process", _q_sumologic_process, _SQL_SUMOLOGIC),
+    Query(
+        "loki_receive_roundtrip",
+        _q_loki_receive_roundtrip,
+        _SQL_LOKI_RECEIVE,
+    ),
+    Query(
+        "splunk_hec_receive_roundtrip",
+        _q_splunk_hec_receive_roundtrip,
+        _SQL_SPLUNK_HEC_RECEIVE,
+    ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
