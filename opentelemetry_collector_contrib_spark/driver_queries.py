@@ -5212,6 +5212,123 @@ FROM events
 """
 
 
+def _q_statsd_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """statsdreceiver flush (`receiver/statsdreceiver/internal/protocol/
+    statsd_parser.go:264-345` + `metric_translator.go`): synthesize a
+    statsd line stream from the events table (counters with @0.5
+    sampling, gauges mixing set/+/- addition lines, tagged timers),
+    parse it, and aggregate one flush interval. The oracle recomputes
+    counter truncated-sample sums, the gauge last-writer+additions fold
+    (base = last non-addition line else first line), and the gonum
+    Empirical summary percentiles (smallest sample whose cumulative
+    weight reaches p×total) straight from the table."""
+    from .sources.statsd_receiver import statsd_datapoints, statsd_flush
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    lines = ev.select(
+        eid.alias("line_id"),
+        F.when(
+            eid % 3 == 0,
+            F.concat(
+                F.lit("c"), (eid % 4).cast("string"),
+                F.lit(":"), (eid % 10).cast("string"), F.lit("|c"),
+                F.when(eid % 2 == 0, F.lit("|@0.5")).otherwise(F.lit("")),
+            ),
+        )
+        .when(
+            eid % 3 == 1,
+            F.concat(
+                F.lit("g"), (eid % 4).cast("string"), F.lit(":"),
+                F.when(eid % 5 < 2, F.lit("+"))
+                .when(eid % 5 == 2, F.lit("-"))
+                .otherwise(F.lit("")),
+                (eid % 7).cast("string"), F.lit("|g"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("lat"), (eid % 2).cast("string"),
+                F.lit(":"), (eid % 100).cast("string"),
+                F.lit("|ms|#k:"), (eid % 5).cast("string"),
+            )
+        )
+        .alias("line"),
+    )
+    flushed = statsd_flush(
+        statsd_datapoints(lines),
+        1_704_067_200_000_000_000,
+        1_704_067_260_000_000_000,
+        timer_observer="summary",
+    )
+    return flushed.select(
+        "name",
+        "kind",
+        F.col("attrs")["k"].alias("k"),
+        "int_value",
+        "double_value",
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("sm"),
+        "q0", "q10", "q50", "q90", "q95", "q100",
+    )
+
+
+_SQL_STATSD = """
+WITH c AS (
+  SELECT 'c' || (event_id % 4) AS name,
+         CASE WHEN event_id % 2 = 0
+              THEN CAST(trunc((event_id % 10) / 0.5) AS BIGINT)
+              ELSE event_id % 10 END AS cv
+  FROM events WHERE event_id % 3 = 0
+),
+g AS (
+  SELECT event_id AS id, 'g' || (event_id % 4) AS name,
+         (event_id % 5) < 3 AS addition,
+         CASE WHEN event_id % 5 = 2 THEN -CAST(event_id % 7 AS DOUBLE)
+              ELSE CAST(event_id % 7 AS DOUBLE) END AS signed
+  FROM events WHERE event_id % 3 = 1
+),
+gb AS (
+  SELECT name,
+         coalesce(max(CASE WHEN NOT addition THEN id END), min(id)) AS base_id
+  FROM g GROUP BY name
+),
+t AS (
+  SELECT 'lat' || (event_id % 2) AS name,
+         CAST(event_id % 5 AS VARCHAR) AS k,
+         CAST(event_id % 100 AS DOUBLE) AS v
+  FROM events WHERE event_id % 3 = 2
+),
+ts AS (
+  SELECT name, k, COUNT(*) AS n, SUM(v) AS sm, list(v ORDER BY v) AS vs
+  FROM t GROUP BY name, k
+)
+SELECT name, 'counter' AS kind, CAST(NULL AS VARCHAR) AS k,
+       SUM(cv) AS int_value, CAST(NULL AS DOUBLE) AS double_value,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS sm,
+       CAST(NULL AS DOUBLE) AS q0, CAST(NULL AS DOUBLE) AS q10,
+       CAST(NULL AS DOUBLE) AS q50, CAST(NULL AS DOUBLE) AS q90,
+       CAST(NULL AS DOUBLE) AS q95, CAST(NULL AS DOUBLE) AS q100
+FROM c GROUP BY name
+UNION ALL
+SELECT g.name, 'gauge', NULL, NULL,
+       SUM(CASE WHEN g.id = gb.base_id THEN g.signed
+                WHEN g.addition AND g.id > gb.base_id THEN g.signed END),
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM g JOIN gb USING (name) GROUP BY g.name
+UNION ALL
+SELECT name, 'summary', k, NULL, NULL, n, sm,
+       vs[greatest(1, CAST(ceil(0.00 * n) AS BIGINT))],
+       vs[greatest(1, CAST(ceil(0.10 * n) AS BIGINT))],
+       vs[greatest(1, CAST(ceil(0.50 * n) AS BIGINT))],
+       vs[greatest(1, CAST(ceil(0.90 * n) AS BIGINT))],
+       vs[greatest(1, CAST(ceil(0.95 * n) AS BIGINT))],
+       vs[greatest(1, CAST(ceil(1.00 * n) AS BIGINT))]
+FROM ts
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5303,6 +5420,7 @@ REGISTRY: list[Query] = [
         _q_splunk_hec_receive_roundtrip,
         _SQL_SPLUNK_HEC_RECEIVE,
     ),
+    Query("statsd_aggregate", _q_statsd_aggregate, _SQL_STATSD),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
