@@ -5329,6 +5329,59 @@ FROM ts
 """
 
 
+def _q_carbon_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """carbonreceiver plaintext lines (`receiver/carbonreceiver/protocol/
+    path_parser_helper.go:92-147` + `plaintext_parser.go:39-71`):
+    synthesize ``<path>[;env=prod] <value> <ts>`` lines from the events
+    table — int and float values (typed datapoints), int and fractional
+    timestamps (modf second/nano split) — parse, and emit the typed
+    rows. The oracle recomputes every field straight from the table."""
+    from .sources.carbon_receiver import carbon_datapoints
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    lines = ev.select(
+        F.concat(
+            F.lit("svc"), (eid % 3).cast("string"),
+            F.lit(".h"), (eid % 5).cast("string"),
+            F.lit(".cpu.seconds"),
+            F.when(eid % 2 == 0, F.lit(";env=prod")).otherwise(F.lit("")),
+            F.lit(" "),
+            (eid % 100).cast("string"),
+            F.when(eid % 4 == 0, F.lit(".5")).otherwise(F.lit("")),
+            F.lit(" "),
+            ((F.lit(1704067200) + eid % 86400)).cast("string"),
+            F.when(eid % 7 == 0, F.lit(".5")).otherwise(F.lit("")),
+        ).alias("line")
+    )
+    return carbon_datapoints(lines).select(
+        "name",
+        "kind",
+        "is_int",
+        "int_value",
+        "double_value",
+        "ts_ns",
+        F.col("attrs")["env"].alias("env"),
+    )
+
+
+_SQL_CARBON = """
+SELECT 'svc' || (event_id % 3) || '.h' || (event_id % 5) || '.cpu.seconds'
+         AS name,
+       'gauge' AS kind,
+       event_id % 4 <> 0 AS is_int,
+       CASE WHEN event_id % 4 = 0 THEN NULL ELSE event_id % 100 END
+         AS int_value,
+       CASE WHEN event_id % 4 = 0
+            THEN CAST(event_id % 100 AS DOUBLE) + 0.5 END AS double_value,
+       CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         + CASE WHEN event_id % 7 = 0 THEN 500000000 ELSE 0 END AS ts_ns,
+       CASE WHEN event_id % 2 = 0 THEN 'prod' END AS env
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5421,6 +5474,7 @@ REGISTRY: list[Query] = [
         _SQL_SPLUNK_HEC_RECEIVE,
     ),
     Query("statsd_aggregate", _q_statsd_aggregate, _SQL_STATSD),
+    Query("carbon_parse", _q_carbon_parse, _SQL_CARBON),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
