@@ -5382,6 +5382,63 @@ FROM events
 """
 
 
+def _q_wavefront_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """wavefrontreceiver (`receiver/wavefrontreceiver/wavefront_parser.go:
+    51-113`): synthesize ``<name> <value> [<ts>] source=<h> [env=prod]``
+    lines — int and float values (typed points), every 9th line with the
+    timestamp OMITTED (the reference stamps time.Now(); pinned to 0
+    here, module docstring) — parse, and emit the typed rows. Oracle
+    recomputes every field from the table."""
+    from .sources.wavefront_receiver import wavefront_datapoints
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    lines = ev.select(
+        F.concat(
+            F.lit("m"), (eid % 3).cast("string"), F.lit(".load "),
+            (eid % 100).cast("string"),
+            F.when(eid % 4 == 0, F.lit(".5")).otherwise(F.lit("")),
+            F.lit(" "),
+            F.when(
+                eid % 9 == 0, F.lit("")
+            ).otherwise(
+                F.concat(
+                    ((F.lit(1704067200) + eid % 86400)).cast("string"),
+                    F.lit(" "),
+                )
+            ),
+            F.lit("source=h"), (eid % 5).cast("string"),
+            F.when(eid % 2 == 0, F.lit(" env=prod")).otherwise(F.lit("")),
+        ).alias("line")
+    )
+    return wavefront_datapoints(lines).select(
+        "name",
+        "is_int",
+        "int_value",
+        "double_value",
+        "ts_ns",
+        F.col("attrs")["source"].alias("src"),
+        F.col("attrs")["env"].alias("env"),
+    )
+
+
+_SQL_WAVEFRONT = """
+SELECT 'm' || (event_id % 3) || '.load' AS name,
+       event_id % 4 <> 0 AS is_int,
+       CASE WHEN event_id % 4 = 0 THEN NULL ELSE event_id % 100 END
+         AS int_value,
+       CASE WHEN event_id % 4 = 0
+            THEN CAST(event_id % 100 AS DOUBLE) + 0.5 END AS double_value,
+       CASE WHEN event_id % 9 = 0 THEN 0
+            ELSE CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+       END AS ts_ns,
+       'h' || (event_id % 5) AS src,
+       CASE WHEN event_id % 2 = 0 THEN 'prod' END AS env
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5475,6 +5532,7 @@ REGISTRY: list[Query] = [
     ),
     Query("statsd_aggregate", _q_statsd_aggregate, _SQL_STATSD),
     Query("carbon_parse", _q_carbon_parse, _SQL_CARBON),
+    Query("wavefront_parse", _q_wavefront_parse, _SQL_WAVEFRONT),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
