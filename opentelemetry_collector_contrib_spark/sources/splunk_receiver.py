@@ -79,10 +79,11 @@ def _render(v) -> str:
 
 
 def _event_time_ns(t) -> int:
-    """`common.go:94-107` (string times parse as float64) +
+    """`common.go:94-107` (float64 or numeric-string times; any OTHER
+    JSON type leaves Time at 0 — the switch has no default) +
     `splunk_to_logdata.go:60-61` (seconds × 1e9; Go's float→uint64
     conversion truncates toward zero, as Python ``int()`` does)."""
-    if t is None:
+    if isinstance(t, bool) or not isinstance(t, (int, float, str)):
         return 0
     return int(float(t) * 1e9)
 
@@ -121,12 +122,23 @@ def _metadata_resource(host: str, source: str, sourcetype: str, index: str) -> d
     return res
 
 
+def _meta_str(ev: dict, key: str) -> str:
+    """HEC metadata fields are typed ``string`` in splunk.Event — a
+    non-string JSON value fails the unmarshal (400, nothing consumed)."""
+    v = ev.get(key)
+    if v is None:
+        return ""
+    if not isinstance(v, str):
+        raise ValueError(f"HEC event {key!r} must be a string")
+    return v
+
+
 def _event_to_record(ev: dict) -> dict:
     res = _metadata_resource(
-        str(ev.get("host") or ""),
-        str(ev.get("source") or ""),
-        str(ev.get("sourcetype") or ""),
-        str(ev.get("index") or ""),
+        _meta_str(ev, "host"),
+        _meta_str(ev, "source"),
+        _meta_str(ev, "sourcetype"),
+        _meta_str(ev, "index"),
     )
     fields = ev.get("fields") or {}
     if not isinstance(fields, dict):

@@ -124,7 +124,8 @@ def parse_statsd_line(
                     "only GAUGE and COUNT metrics support a timestamp"
                 )
             ts = part[1:]
-            if not ts.isdigit():
+            # Go ParseUint: ASCII decimal digits only
+            if not ts or not ts.isascii() or not ts.isdigit():
                 raise ValueError(f"invalid timestamp: {ts}")
             ts_ns = int(ts) * 1_000_000_000
         else:
@@ -373,9 +374,16 @@ def statsd_flush(
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p, allowMissingColumns=True)
+    types = {
+        "start_ns": "long", "ts_ns": "long", "int_value": "long",
+        "count": "long", "double_value": "double", "sum": "double",
+        **{f"q{int(p)}": "double" for p in _PCTS},
+    }
     for c in _FLUSH_COLS:
         if c not in out.columns:
-            out = out.withColumn(c, F.lit(None))
+            out = out.withColumn(c, F.lit(None).cast(types.get(c, "string")))
+        elif c in types:
+            out = out.withColumn(c, F.col(c).cast(types[c]))
     return out.select(*_FLUSH_COLS)
 
 

@@ -156,6 +156,24 @@ def test_hec_log_records_event_endpoint(spark):
     assert b.body == '{"msg":"obj"}'
 
 
+def test_hec_event_strictness_and_time_types():
+    from opentelemetry_collector_contrib_spark.sources.splunk_receiver import (
+        _event_time_ns,
+        _event_to_record,
+    )
+
+    # non-string metadata fails the typed unmarshal (400 path)
+    with pytest.raises(ValueError):
+        _event_to_record({"host": 5, "event": "x"})
+    # time: float64 / numeric string parse; other JSON types → 0 (the
+    # Go switch has no default case)
+    assert _event_time_ns(1.5) == 1_500_000_000
+    assert _event_time_ns("2") == 2_000_000_000
+    assert _event_time_ns(True) == 0
+    assert _event_time_ns([1]) == 0
+    assert _event_time_ns(None) == 0
+
+
 def test_hec_raw_endpoint_splitting(spark):
     df = spark.createDataFrame([("line1\nline2\nline3",)], "value string")
     lines = hec_raw_log_records(

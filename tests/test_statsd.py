@@ -160,6 +160,18 @@ def test_histogram_observer_surface(spark):
     assert r.kind == "histogram" and r["count"] == 2 and r["sum"] == 12.0
 
 
+def test_flush_schema_stable_without_summaries(spark):
+    """Every observer config yields the same typed flush schema — no
+    NullType columns when the summary branch never runs."""
+    df = spark.createDataFrame([(0, "a:1|c")], "line_id long, line string")
+    out = statsd_flush(statsd_datapoints(df), START, NOW,
+                       timer_observer="disabled")
+    kinds = dict(out.dtypes)
+    assert kinds["q50"] == "double" and kinds["count"] == "bigint"
+    assert kinds["sum"] == "double" and kinds["int_value"] == "bigint"
+    assert out.collect()[0].kind == "counter"
+
+
 def test_flush_rejects_unknown_observer(spark):
     df = spark.createDataFrame([(0, "a:1|c")], "line_id long, line string")
     with pytest.raises(ValueError):
