@@ -5439,6 +5439,63 @@ FROM events
 """
 
 
+def _q_collectd_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collectdreceiver (`receiver/collectdreceiver/collectd.go:62-148`):
+    synthesize write_http JSON bodies from the events table — gauge vs
+    derive dstypes, int vs float json.Number values, bracket-block
+    type_instance extraction, single-dsname→attribute rule — parse, and
+    emit the typed rows. Oracle recomputes every field from the table."""
+    from .sources.collectd_receiver import collectd_datapoints
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    bodies = ev.select(
+        F.concat(
+            F.lit('[{"dsnames":["value"],"dstypes":["'),
+            F.when(eid % 2 == 0, F.lit("gauge")).otherwise(F.lit("derive")),
+            F.lit('"],"values":['),
+            (eid % 100).cast("string"),
+            F.when(eid % 4 == 0, F.lit(".5")).otherwise(F.lit("")),
+            F.lit('],"host":"h'), (eid % 5).cast("string"),
+            F.lit('","plugin":"cpu","plugin_instance":"core'),
+            (eid % 4).cast("string"),
+            F.lit('","time":'),
+            (F.lit(1704067200) + eid % 86400).cast("string"),
+            F.lit(',"interval":10,"type":"load","type_instance":"avg[k=v'),
+            (eid % 3).cast("string"),
+            F.lit(']"}]'),
+        ).alias("value")
+    )
+    return collectd_datapoints(bodies).select(
+        "name",
+        "kind",
+        "is_int",
+        "int_value",
+        "double_value",
+        "ts_ns",
+        F.col("attrs")["k"].alias("k"),
+        F.col("attrs")["host"].alias("host"),
+        F.col("attrs")["dsname"].alias("dsname"),
+    )
+
+
+_SQL_COLLECTD = """
+SELECT 'load.avg' AS name,
+       CASE WHEN event_id % 2 = 0 THEN 'gauge' ELSE 'cumulative' END AS kind,
+       event_id % 4 <> 0 AS is_int,
+       CASE WHEN event_id % 4 = 0 THEN NULL ELSE event_id % 100 END
+         AS int_value,
+       CASE WHEN event_id % 4 = 0
+            THEN CAST(event_id % 100 AS DOUBLE) + 0.5 END AS double_value,
+       CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT) AS ts_ns,
+       'v' || (event_id % 3) AS k,
+       'h' || (event_id % 5) AS host,
+       'value' AS dsname
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5533,6 +5590,7 @@ REGISTRY: list[Query] = [
     Query("statsd_aggregate", _q_statsd_aggregate, _SQL_STATSD),
     Query("carbon_parse", _q_carbon_parse, _SQL_CARBON),
     Query("wavefront_parse", _q_wavefront_parse, _SQL_WAVEFRONT),
+    Query("collectd_parse", _q_collectd_parse, _SQL_COLLECTD),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
