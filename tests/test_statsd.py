@@ -172,6 +172,44 @@ def test_flush_schema_stable_without_summaries(spark):
     assert out.collect()[0].kind == "counter"
 
 
+def test_statsd_live_udp_spool(spark, tmp_path):
+    """Live half: the statsd transport reads UDP datagrams and splits
+    them on newline (`internal/transport/udp_server.go:89`); the repo's
+    udp spool bridge + line reader reproduce exactly that framing, so
+    datagrams → spool → statsd_datapoints is the full receiver."""
+    import socket
+    import time as _t
+
+    from pyspark.sql import functions as F
+    from opentelemetry_collector_contrib_spark.sources.readers import (
+        read_log_lines,
+        udp_spool_listener,
+    )
+
+    import glob
+
+    spool = str(tmp_path / "statsd_spool")
+    sock, stop2 = udp_spool_listener("127.0.0.1", 0, spool, flush_every=2)
+    port = sock.getsockname()[1]
+    client = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    client.sendto(b"req:3|c\nreq:4|c", ("127.0.0.1", port))  # multi-metric
+    client.sendto(b"req:5|c|@0.5\n", ("127.0.0.1", port))
+    client.sendto(b"other:7|c|#k:v", ("127.0.0.1", port))
+    deadline = _t.time() + 5
+    while _t.time() < deadline and len(glob.glob(f"{spool}/udp-*")) < 2:
+        _t.sleep(0.1)
+    stop2()
+    client.close()
+
+    lines = read_log_lines(spark, spool).select(
+        F.col("offset").alias("line_id"), "line"
+    )
+    flushed = statsd_flush(statsd_datapoints(lines), START, NOW).collect()
+    by = {r.name: r for r in flushed}
+    assert by["req"].int_value == 3 + 4 + 10  # 5/@0.5 → 10
+    assert by["other"].int_value == 7 and by["other"].attrs == {"k": "v"}
+
+
 def test_flush_rejects_unknown_observer(spark):
     df = spark.createDataFrame([(0, "a:1|c")], "line_id long, line string")
     with pytest.raises(ValueError):
