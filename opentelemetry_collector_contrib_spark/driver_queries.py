@@ -5496,6 +5496,86 @@ FROM events
 """
 
 
+def _q_syslog_octet_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 6587 octet-counted syslog TCP round-trip: render each event
+    with the syslog exporter (octet_counting=True — the length prefix
+    counts the trailing newline, `sender.go:16-32`), concatenate frames
+    into per-connection streams IN event order (what a TCP sender
+    emits), then split the streams back with the receive-direction
+    framing (`input.go:54-84`) and parse RFC 5424. The oracle recomputes
+    every parsed field straight from the table, so the frame writer AND
+    the frame splitter are both value-checked — a frame boundary off by
+    one byte would corrupt every later message in its stream."""
+    from .operators.parse import syslog_parser
+    from .operators.syslog_exporter import syslog_lines
+    from .sources.syslog_framing import syslog_frame_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    flat = ev.select(
+        "event_id",
+        (
+            (F.lit(1704067200) + eid % 86400).cast("long")
+            * F.lit(1_000_000_000)
+        ).alias("time_unix_nano"),
+        F.create_map(
+            F.lit("priority"), (eid % 192).cast("string"),
+            F.lit("hostname"), F.concat(F.lit("h"), (eid % 7).cast("string")),
+            F.lit("appname"), F.concat(F.lit("app"), (eid % 3).cast("string")),
+            F.lit("proc_id"), (eid % 1000).cast("string"),
+            F.lit("msg_id"), F.concat(F.lit("M"), (eid % 10).cast("string")),
+            F.lit("message"),
+            F.concat(F.lit("evt <"), eid.cast("string"),
+                     F.lit("> "), F.col("event_type")),
+        ).alias("attributes"),
+    )
+    framed = syslog_lines(
+        flat, "rfc5424", octet_counting=True, keep=("event_id",)
+    )
+    streams = (
+        framed.groupBy(
+            (F.col("event_id") % 64).cast("string").alias("conn")
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_id", "value"))
+                    ),
+                    lambda s: s.getField("value"),
+                ),
+                "",
+            ).alias("value")
+        )
+    )
+    lines = syslog_frame_lines(streams, conn_col="conn")
+    parsed = syslog_parser(lines, protocol="rfc5424", multiline_msg=True)
+    return parsed.select(
+        F.col("pri").cast("int").alias("pri_n"),
+        "host",
+        "app",
+        "procid",
+        "msgid",
+        F.regexp_replace(F.col("msg"), r"\n$", "").alias("msg"),
+        "facility",
+        "syslog_severity",
+    )
+
+
+_SQL_SYSLOG_OCTET = """
+SELECT CAST(event_id % 192 AS INT) AS pri_n,
+       'h' || (event_id % 7) AS host,
+       'app' || (event_id % 3) AS app,
+       CAST(event_id % 1000 AS VARCHAR) AS procid,
+       'M' || (event_id % 10) AS msgid,
+       'evt <' || event_id || '> ' || event_type AS msg,
+       CAST((event_id % 192) // 8 AS INT) AS facility,
+       CAST((event_id % 192) % 8 AS INT) AS syslog_severity
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5591,6 +5671,11 @@ REGISTRY: list[Query] = [
     Query("carbon_parse", _q_carbon_parse, _SQL_CARBON),
     Query("wavefront_parse", _q_wavefront_parse, _SQL_WAVEFRONT),
     Query("collectd_parse", _q_collectd_parse, _SQL_COLLECTD),
+    Query(
+        "syslog_octet_roundtrip",
+        _q_syslog_octet_roundtrip,
+        _SQL_SYSLOG_OCTET,
+    ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),

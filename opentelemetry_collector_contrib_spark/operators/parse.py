@@ -178,11 +178,19 @@ SYSLOG_5424 = (
 
 
 def syslog_parser(
-    df: DataFrame, parse_from: str = "line", protocol: str = "rfc3164", year: int = 2024
+    df: DataFrame, parse_from: str = "line", protocol: str = "rfc3164",
+    year: int = 2024, multiline_msg: bool = False
 ) -> DataFrame:
     """syslog_parser (`parser/syslog/parser.go:58-160`): RFC3164/RFC5424
-    structured parse; PRI splits into facility/severity per the RFC."""
+    structured parse; PRI splits into facility/severity per the RFC.
+
+    ``multiline_msg`` lets the RFC 5424 MSG span newlines — the
+    go-syslog machine accepts any octets there, which matters exactly
+    for octet-counted TCP frames (`sources/syslog_framing`); the
+    default stays line-oriented for the line-reader paths."""
     pat = SYSLOG_3164 if protocol == "rfc3164" else SYSLOG_5424
+    if multiline_msg and protocol == "rfc5424":
+        pat = pat.replace("(?P<msg>.*)$", "(?P<msg>(?s:.*))$")
     names = _group_names(pat)
     out = regex_parser_native(df, pat, names, parse_from=parse_from)
     pri = F.col("pri").cast("int")

@@ -131,11 +131,14 @@ def format_rfc3164(rec: dict) -> str:
 
 
 def syslog_lines(
-    df: DataFrame, protocol: str = "rfc5424", octet_counting: bool = False
+    df: DataFrame, protocol: str = "rfc5424", octet_counting: bool = False,
+    keep: tuple = (),
 ) -> DataFrame:
     """Flat log records → rendered syslog lines (``value`` string,
     newline included — the exact bytes `sender.go` writes per record).
-    PURE MAP, zero exchanges."""
+    PURE MAP, zero exchanges. ``keep`` names input columns to carry
+    through alongside ``value`` (e.g. an ordering key for stream
+    assembly)."""
     if protocol not in ("rfc5424", "rfc3164"):
         raise ValueError(f"unknown syslog protocol {protocol!r}")
     work = df
@@ -158,7 +161,8 @@ def syslog_lines(
         return pd.Series(out, dtype=object)
 
     return work.select(
+        *[F.col(c) for c in keep],
         render(
             F.struct(F.col("time_unix_nano"), F.col("attributes"))
-        ).alias("value")
+        ).alias("value"),
     )
