@@ -5576,6 +5576,85 @@ FROM events
 """
 
 
+def _q_azure_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Azure resource-logs translator (`pkg/translator/azure/
+    resourcelogs_to_logs.go:83-211`): synthesize Event-Hub payloads from
+    the events table — named and numeric Levels, 100 ns (7-digit)
+    timestamp fractions, durationMs, nested properties — parse, and
+    emit the typed rows. Oracle recomputes every field, incl. the
+    Informational/Warning/Error/Critical severity table and the exact
+    nanosecond timestamps."""
+    from .sources.azure_logs import azure_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    ts = F.from_unixtime(
+        F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+    )
+    level = (
+        F.when(eid % 5 == 0, F.lit('"Informational"'))
+        .when(eid % 5 == 1, F.lit('"Warning"'))
+        .when(eid % 5 == 2, F.lit('"Error"'))
+        .when(eid % 5 == 3, F.lit('"Critical"'))
+        .otherwise((eid % 24 + 1).cast("string"))
+    )
+    bodies = ev.select(
+        F.concat(
+            F.lit('{"records":[{"time":"'), ts,
+            F.when(eid % 3 == 0, F.lit(".1234567")).otherwise(F.lit("")),
+            F.lit('Z","resourceId":"/SUB/'), (eid % 4).cast("string"),
+            F.lit('","operationName":"op'), (eid % 3).cast("string"),
+            F.lit('","category":"cat'), (eid % 2).cast("string"),
+            F.lit('","Level":'), level,
+            F.lit(',"durationMs":'), (eid % 1000).cast("string"),
+            F.lit(',"callerIpAddress":"10.0.0.'), (eid % 256).cast("string"),
+            F.lit('","location":"eastus","properties":{"k":'),
+            (eid % 7).cast("string"),
+            F.lit("}}]}"),
+        ).alias("value")
+    )
+    recs = azure_log_records(bodies)
+    return recs.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        F.col("resource")["azure.resource.id"].alias("rid"),
+        F.col("attributes")["azure.category"].alias("category"),
+        F.col("attributes")["azure.operation.name"].alias("op"),
+        F.col("attributes")["azure.duration"].alias("dur"),
+        F.col("attributes")["azure.properties"].alias("props"),
+        F.col("attributes")["cloud.region"].alias("region"),
+        F.col("attributes")["cloud.provider"].alias("provider"),
+        F.col("attributes")["net.sock.peer.addr"].alias("peer"),
+        F.col("scope_name"),
+    )
+
+
+_SQL_AZURE_LOGS = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         + CASE WHEN event_id % 3 = 0 THEN 123456700 ELSE 0 END
+         AS time_unix_nano,
+       CAST(CASE event_id % 5
+         WHEN 0 THEN 9 WHEN 1 THEN 13 WHEN 2 THEN 17 WHEN 3 THEN 21
+         ELSE event_id % 24 + 1 END AS INT) AS severity_number,
+       CASE event_id % 5
+         WHEN 0 THEN 'Informational' WHEN 1 THEN 'Warning'
+         WHEN 2 THEN 'Error' WHEN 3 THEN 'Critical'
+         ELSE CAST(event_id % 24 + 1 AS VARCHAR) END AS severity_text,
+       '/SUB/' || (event_id % 4) AS rid,
+       'cat' || (event_id % 2) AS category,
+       'op' || (event_id % 3) AS op,
+       CAST(event_id % 1000 AS VARCHAR) AS dur,
+       '{"k":' || (event_id % 7) || '}' AS props,
+       'eastus' AS region,
+       'azure' AS provider,
+       '10.0.0.' || (event_id % 256) AS peer,
+       'otelcol/azureresourcelogs' AS scope_name
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5676,6 +5755,7 @@ REGISTRY: list[Query] = [
         _q_syslog_octet_roundtrip,
         _SQL_SYSLOG_OCTET,
     ),
+    Query("azure_logs_parse", _q_azure_logs_parse, _SQL_AZURE_LOGS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
