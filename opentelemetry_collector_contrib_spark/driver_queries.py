@@ -5655,6 +5655,73 @@ FROM events
 """
 
 
+def _q_cloudflare_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cloudflarereceiver (`receiver/cloudflarereceiver/logs.go:197-321`):
+    synthesize Logpush NDJSON from the events table covering every
+    EdgeResponseStatus severity band (200/300/400/500 + out-of-range
+    600), RFC 3339 timestamps, zone grouping, and the typed attribute
+    mapping; parse and emit the rows. The oracle recomputes every field
+    incl. the whole-object Go-JSON body with sorted keys."""
+    from .sources.cloudflare_receiver import cloudflare_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    ts = F.from_unixtime(
+        F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+    )
+    code = (F.lit(200) + (eid % 5) * 100).cast("string")
+    payloads = ev.select(
+        F.concat(
+            F.lit('{"ClientIP":"10.0.0.'), (eid % 256).cast("string"),
+            F.lit('","ClientRequestBytes":'), (eid % 1000).cast("string"),
+            F.lit(',"EdgeResponseStatus":'), code,
+            F.lit(',"EdgeStartTimestamp":"'), ts,
+            F.lit('Z","ZoneName":"z'), (eid % 3).cast("string"),
+            F.lit('"}'),
+        ).alias("value")
+    )
+    recs = cloudflare_log_records(
+        payloads,
+        attributes={
+            "ClientIP": "http.client_ip",
+            "ClientRequestBytes": "req_bytes",
+        },
+    )
+    return recs.select(
+        "time_unix_nano",
+        "severity_number",
+        "severity_text",
+        F.col("resource")["cloudflare.zone"].alias("zone"),
+        F.col("attributes")["http.client_ip"].alias("ip"),
+        F.col("attributes")["req_bytes"].alias("req_bytes"),
+        "body",
+    )
+
+
+_SQL_CLOUDFLARE = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         AS time_unix_nano,
+       CAST(CASE event_id % 5
+         WHEN 0 THEN 9 WHEN 1 THEN 10 WHEN 2 THEN 13 WHEN 3 THEN 17
+         ELSE 0 END AS INT) AS severity_number,
+       CASE event_id % 5
+         WHEN 0 THEN 'Info' WHEN 1 THEN 'Info2' WHEN 2 THEN 'Warn'
+         WHEN 3 THEN 'Error' ELSE '' END AS severity_text,
+       'z' || (event_id % 3) AS zone,
+       '10.0.0.' || (event_id % 256) AS ip,
+       CAST(event_id % 1000 AS VARCHAR) AS req_bytes,
+       '{"ClientIP":"10.0.0.' || (event_id % 256)
+       || '","ClientRequestBytes":' || (event_id % 1000)
+       || ',"EdgeResponseStatus":' || (200 + (event_id % 5) * 100)
+       || ',"EdgeStartTimestamp":"'
+       || strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                   '%Y-%m-%dT%H:%M:%S') || 'Z'
+       || '","ZoneName":"z' || (event_id % 3) || '"}' AS body
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5756,6 +5823,7 @@ REGISTRY: list[Query] = [
         _SQL_SYSLOG_OCTET,
     ),
     Query("azure_logs_parse", _q_azure_logs_parse, _SQL_AZURE_LOGS),
+    Query("cloudflare_parse", _q_cloudflare_parse, _SQL_CLOUDFLARE),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
