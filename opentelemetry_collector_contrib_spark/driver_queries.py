@@ -5722,6 +5722,99 @@ FROM events
 """
 
 
+def _q_gcp_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Cloud Logging LogEntry translation
+    (`receiver/googlecloudpubsubreceiver/internal/log_entry.go:105-260`):
+    synthesize LogEntry JSON from the events table — the full LogSeverity
+    table (incl. DEFAULT → unset), nanosecond timestamp fractions,
+    resource label snake_casing, trace/span hex (event 0's all-zero ids
+    → pdata-unset) — translate, and emit the rows. Oracle recomputes
+    every field."""
+    from .sources.gcp_logs import gcp_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hexid = F.lower(F.conv(eid.cast("string"), 10, 16))
+    ts = F.from_unixtime(
+        F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+    )
+    sev = (
+        F.when(eid % 9 == 0, F.lit("DEBUG"))
+        .when(eid % 9 == 1, F.lit("INFO"))
+        .when(eid % 9 == 2, F.lit("NOTICE"))
+        .when(eid % 9 == 3, F.lit("WARNING"))
+        .when(eid % 9 == 4, F.lit("ERROR"))
+        .when(eid % 9 == 5, F.lit("CRITICAL"))
+        .when(eid % 9 == 6, F.lit("ALERT"))
+        .when(eid % 9 == 7, F.lit("EMERGENCY"))
+        .otherwise(F.lit("DEFAULT"))
+    )
+    docs = ev.select(
+        F.concat(
+            F.lit('{"insertId":"u'), eid.cast("string"),
+            F.lit('","timestamp":"'), ts,
+            F.when(eid % 3 == 0, F.lit(".123456789")).otherwise(F.lit("")),
+            F.lit('Z","receiveTimestamp":"'), ts,
+            F.lit('Z","logName":"projects/p/logs/l'), (eid % 3).cast("string"),
+            F.lit('","severity":"'), sev,
+            F.lit('","textPayload":"evt '), eid.cast("string"),
+            F.lit(" "), F.col("event_type"),
+            F.lit('","resource":{"type":"gce_instance","labels":'
+                  '{"projectId":"p'), (eid % 4).cast("string"),
+            F.lit('"}},"trace":"projects/p/traces/'),
+            F.lpad(hexid, 32, "0"),
+            F.lit('","spanId":"'), F.lpad(hexid, 16, "0"),
+            F.lit('","labels":{"env":"e'), (eid % 5).cast("string"),
+            F.lit('"}}'),
+        ).alias("value")
+    )
+    recs = gcp_log_records(docs)
+    return recs.select(
+        "time_unix_nano",
+        "observed_time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["log.record.uid"].alias("uid"),
+        F.col("attributes")["gcp.log_name"].alias("log_name"),
+        F.col("attributes")["env"].alias("env"),
+        F.col("resource")["gcp.resource_type"].alias("rtype"),
+        F.col("resource")["gcp.project_id"].alias("project"),
+        "trace_id",
+        "span_id",
+    )
+
+
+_SQL_GCP_LOGS = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         + CASE WHEN event_id % 3 = 0 THEN 123456789 ELSE 0 END
+         AS time_unix_nano,
+       CAST((1704067200 + event_id % 86400) * 1000000000 AS BIGINT)
+         AS observed_time_unix_nano,
+       CAST(CASE event_id % 9
+         WHEN 0 THEN 5 WHEN 1 THEN 9 WHEN 2 THEN 10 WHEN 3 THEN 13
+         WHEN 4 THEN 17 WHEN 5 THEN 21 WHEN 6 THEN 22 WHEN 7 THEN 24
+         ELSE 0 END AS INT) AS severity_number,
+       CASE event_id % 9
+         WHEN 0 THEN 'DEBUG' WHEN 1 THEN 'INFO' WHEN 2 THEN 'NOTICE'
+         WHEN 3 THEN 'WARNING' WHEN 4 THEN 'ERROR' WHEN 5 THEN 'CRITICAL'
+         WHEN 6 THEN 'ALERT' WHEN 7 THEN 'EMERGENCY'
+         ELSE 'DEFAULT' END AS severity_text,
+       'evt ' || event_id || ' ' || event_type AS body,
+       'u' || event_id AS uid,
+       'projects/p/logs/l' || (event_id % 3) AS log_name,
+       'e' || (event_id % 5) AS env,
+       'gce_instance' AS rtype,
+       'p' || (event_id % 4) AS project,
+       CASE WHEN event_id = 0 THEN ''
+            ELSE lpad(lower(to_hex(event_id)), 32, '0') END AS trace_id,
+       CASE WHEN event_id = 0 THEN ''
+            ELSE lpad(lower(to_hex(event_id)), 16, '0') END AS span_id
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5824,6 +5917,7 @@ REGISTRY: list[Query] = [
     ),
     Query("azure_logs_parse", _q_azure_logs_parse, _SQL_AZURE_LOGS),
     Query("cloudflare_parse", _q_cloudflare_parse, _SQL_CLOUDFLARE),
+    Query("gcp_log_parse", _q_gcp_log_parse, _SQL_GCP_LOGS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
