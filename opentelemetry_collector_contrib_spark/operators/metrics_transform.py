@@ -370,10 +370,20 @@ def metrics_transform(df: DataFrame, transforms: list[Transform]) -> DataFrame:
         elif t.action == "group":
             hit = t.include.name_match()
             dropped = df.filter(~(hit & ~t.include.attrs_match()))  # partial extraction drops unmatched dps
+            # pre-filter any colliding keys: the reference's resource
+            # PutStr upserts, and map_concat throws on duplicates
+            _stamp_keys = [
+                f"resource.{k}" for k in (t.group_resource_labels or {})
+            ]
             stamp = F.map_concat(
-                F.col("attributes"),
+                F.map_filter(
+                    F.col("attributes"),
+                    lambda k, _: ~k.isin(*_stamp_keys)
+                    if _stamp_keys
+                    else F.lit(True),
+                ),
                 F.map_from_arrays(
-                    F.array(*[F.lit(f"resource.{k}") for k in (t.group_resource_labels or {})]),
+                    F.array(*[F.lit(k) for k in _stamp_keys]),
                     F.array(*[F.lit(v) for v in (t.group_resource_labels or {}).values()]),
                 ),
             ) if t.group_resource_labels else F.col("attributes")

@@ -208,7 +208,13 @@ def aggregate_attributes(
                     ).getField("value").alias("value"),
                 ),
             )
-            remaining = entries
+            # drop a pre-existing key equal to the target: the reference
+            # UPSERTS (PutEmptyMap overwrites); keeping it would make
+            # map_concat throw DUPLICATED_MAP_KEY under Spark's default
+            # EXCEPTION dedup policy
+            remaining = F.filter(
+                entries, lambda e: e.getField("key") != F.lit(attribute)
+            )
             for p in prefixes:
                 remaining = F.filter(
                     remaining, lambda e: ~e.getField("key").startswith(p)

@@ -45,6 +45,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from ..operators.s3_exporter import _go_json_value
+from .readers import FLAT_LOG_SCHEMA
 
 __all__ = ["azure_log_records", "iso8601_to_ns", "parse_azure_body"]
 
@@ -177,19 +178,7 @@ def parse_azure_body(body: str) -> list[dict]:
     return out
 
 
-_FLAT_SCHEMA = T.StructType(
-    [
-        T.StructField("time_unix_nano", T.LongType()),
-        T.StructField("severity_number", T.IntegerType()),
-        T.StructField("severity_text", T.StringType()),
-        T.StructField("body", T.StringType()),
-        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("scope_name", T.StringType()),
-        T.StructField("trace_id", T.StringType()),
-        T.StructField("span_id", T.StringType()),
-    ]
-)
+_FLAT_SCHEMA = FLAT_LOG_SCHEMA  # the repo-wide flat record shape (sources/readers)
 
 
 def azure_log_records(df: DataFrame, value_col: str = "value") -> DataFrame:

@@ -43,6 +43,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from ..operators.s3_exporter import _go_json_value
+from .readers import FLAT_LOG_SCHEMA
 
 __all__ = ["cloudflare_log_records", "parse_cloudflare_payload"]
 
@@ -151,19 +152,7 @@ def parse_cloudflare_payload(
     return out
 
 
-_FLAT_SCHEMA = T.StructType(
-    [
-        T.StructField("time_unix_nano", T.LongType()),
-        T.StructField("severity_number", T.IntegerType()),
-        T.StructField("severity_text", T.StringType()),
-        T.StructField("body", T.StringType()),
-        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("scope_name", T.StringType()),
-        T.StructField("trace_id", T.StringType()),
-        T.StructField("span_id", T.StringType()),
-    ]
-)
+_FLAT_SCHEMA = FLAT_LOG_SCHEMA  # the repo-wide flat record shape (sources/readers)
 
 
 def cloudflare_log_records(

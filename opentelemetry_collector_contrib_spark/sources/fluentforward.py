@@ -60,6 +60,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import math
 import struct
 from typing import Iterator
 
@@ -570,7 +571,7 @@ def _stringify(v):
         return "true" if v else "false"
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).decode("utf-8", "replace")
-    if isinstance(v, float) and v == int(v):
+    if isinstance(v, float) and math.isfinite(v) and v == int(v):
         return str(int(v))
     if isinstance(v, str):
         # drop lossless surrogate escapes at the Arrow boundary

@@ -39,6 +39,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, types as T
+from .readers import FLAT_LOG_SCHEMA
 
 __all__ = ["loki_log_records", "parse_label_string"]
 
@@ -143,19 +144,7 @@ def parse_label_string(labels: str) -> dict[str, str]:
     return out
 
 
-_FLAT_SCHEMA = T.StructType(
-    [
-        T.StructField("time_unix_nano", T.LongType()),
-        T.StructField("severity_number", T.IntegerType()),
-        T.StructField("severity_text", T.StringType()),
-        T.StructField("body", T.StringType()),
-        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("scope_name", T.StringType()),
-        T.StructField("trace_id", T.StringType()),
-        T.StructField("span_id", T.StringType()),
-    ]
-)
+_FLAT_SCHEMA = FLAT_LOG_SCHEMA  # the repo-wide flat record shape (sources/readers)
 
 
 def loki_log_records(df: DataFrame, *, keep_timestamp: bool = True) -> DataFrame:

@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, types as T
 
 from ..operators.s3_exporter import _go_json_value
+from .readers import FLAT_LOG_SCHEMA
 
 __all__ = ["hec_log_records", "hec_raw_log_records", "parse_hec_events"]
 
@@ -55,19 +56,7 @@ _SOURCE_KEY = "com.splunk.source"
 _SOURCETYPE_KEY = "com.splunk.sourcetype"
 _INDEX_KEY = "com.splunk.index"
 
-_FLAT_SCHEMA = T.StructType(
-    [
-        T.StructField("time_unix_nano", T.LongType()),
-        T.StructField("severity_number", T.IntegerType()),
-        T.StructField("severity_text", T.StringType()),
-        T.StructField("body", T.StringType()),
-        T.StructField("attributes", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("resource", T.MapType(T.StringType(), T.StringType())),
-        T.StructField("scope_name", T.StringType()),
-        T.StructField("trace_id", T.StringType()),
-        T.StructField("span_id", T.StringType()),
-    ]
-)
+_FLAT_SCHEMA = FLAT_LOG_SCHEMA  # the repo-wide flat record shape (sources/readers)
 
 
 def _render(v) -> str:

@@ -154,6 +154,12 @@ class SendingQueue:
 
     # -- producer side (foreachBatch) ------------------------------------
     def enqueue(self, batch_df: DataFrame, batch_id: int) -> bool:
+        if self.on_full == "drop" and self._q.full():
+            # best-effort pre-check: don't pay the parquet staging write
+            # for a batch the full queue will reject anyway (put_nowait
+            # below stays the authoritative check for the race)
+            self.stats.bump("dropped_full")
+            return False
         staged = os.path.join(self.queue_dir, f"batch-{batch_id:012d}")
         batch_df.write.mode("overwrite").parquet(staged)
         item = (staged, batch_id)
@@ -205,7 +211,16 @@ class SendingQueue:
         while self._q.unfinished_tasks and time.monotonic() < deadline:
             time.sleep(0.05)
         for _ in self._consumers:
-            self._q.put(self._STOP)
+            try:
+                # bounded: a full queue with a stuck consumer must not
+                # hang the driver past the deadline (consumers are
+                # daemons; undelivered batches stay staged on disk)
+                self._q.put(
+                    self._STOP,
+                    timeout=max(0.05, deadline - time.monotonic()),
+                )
+            except queue.Full:
+                break
         for t in self._consumers:
             t.join(timeout=max(0.1, deadline - time.monotonic()))
         return self.stats

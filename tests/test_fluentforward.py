@@ -362,3 +362,18 @@ def test_fluent_to_splunk_hec_scenario(spark):
     assert events[0]["fields"]["code"] == "200"
     assert events[1]["event"] == "POST /x"
     assert events[1]["time"] == 1704067206.0
+
+
+def test_stringify_nonfinite_floats():
+    """NaN/Inf float attribute values must not crash the decode —
+    regression for `v == int(v)` raising on non-finite floats (the
+    reference passes them through as doubles)."""
+    from opentelemetry_collector_contrib_spark.sources.fluentforward import (
+        _stringify,
+    )
+
+    assert _stringify(float("nan")) == "nan"
+    assert _stringify(float("inf")) == "inf"
+    assert _stringify(float("-inf")) == "-inf"
+    assert _stringify(2.0) == "2"
+    assert _stringify(2.5) == "2.5"

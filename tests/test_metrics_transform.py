@@ -234,6 +234,20 @@ def test_group_action_stamps_resource_labels(spark):
     assert got == {"m": {"resource.pool": "gpu"}, "other": {}}
 
 
+def test_group_action_overwrites_colliding_label(spark):
+    """A datapoint already carrying the stamped resource label key is
+    overwritten (resource PutStr upsert) — regression for the
+    DUPLICATED_MAP_KEY map_concat failure."""
+    df = mk(spark, [dp("m", 1, {"resource.pool": "old", "keep": "k"})])
+    out = metrics_transform(df, [Transform(
+        include=MetricFilter("m"), action="group",
+        group_resource_labels={"pool": "gpu"},
+    )])
+    (row,) = out.collect()
+    attrs = dict(row.attributes)
+    assert attrs["resource.pool"] == "gpu" and attrs["keep"] == "k"
+
+
 def test_label_matchers_gate_metric_level(spark):
     # matchMetric = any-dp match -> ALL dps of the metric transform
     df = mk(spark, [

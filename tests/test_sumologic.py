@@ -76,6 +76,22 @@ def test_aggregate_attributes(spark):
     assert "pod_a" not in attrs and "node_x" not in attrs
 
 
+def test_aggregate_attributes_upserts_existing_target_key(spark):
+    """A pre-existing attribute named exactly like the aggregate target
+    is OVERWRITTEN (the reference's PutEmptyMap upsert) — regression for
+    the DUPLICATED_MAP_KEY map_concat failure."""
+    df = spark.createDataFrame(
+        [({"pods": "old", "pod_a": "1"},)],
+        T.StructType([T.StructField("attributes", MAP)]),
+    )
+    out = aggregate_attributes(
+        df, [("pods", ["pod_"])], attr_cols=("attributes",)
+    ).collect()[0]
+    attrs = dict(out.attributes)
+    assert json.loads(attrs["pods"]) == {"a": "1"}  # upserted, not "old"
+    assert "pod_a" not in attrs
+
+
 def test_aggregate_attributes_no_match_no_key(spark):
     df = spark.createDataFrame(
         [({"keep": "1"},)], T.StructType([T.StructField("attributes", MAP)])
