@@ -5815,6 +5815,168 @@ FROM events
 """
 
 
+def _q_firehose_cwmetrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awsfirehosereceiver cwmetrics record type
+    (`receiver/awsfirehosereceiver/receiver.go:150-260`,
+    `internal/unmarshaler/cwmetricstream/`): synthesize full Firehose
+    HTTP requests from the events table — base64 records of
+    newline-joined CloudWatch metric-stream JSON datums, a duplicate
+    datapoint (dropped by the (timestamp, fmt.Sprint(dims)) key), an
+    invalid datum (empty unit, skipped), every 10th request entirely
+    invalid (rejected, contributes no rows), AWS/-vs-custom namespace
+    service splitting, fractional counts (uint64 truncation), and a
+    common-attributes header whose cloud.region never overwrites the
+    CloudWatch resource value. Oracle recomputes every datapoint
+    closed-form."""
+    from .sources.firehose_receiver import firehose_cwmetrics
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+
+    def s(col):  # int-ish column → JSON number/string fragment
+        if not isinstance(col, F.Column):
+            col = F.lit(col)
+        return col.cast("string")
+
+    def d(col):  # double column/literal → JSON number fragment
+        if not isinstance(col, F.Column):
+            col = F.lit(col)
+        return col.cast("double").cast("string")
+
+    ns = (
+        F.when(eid % 3 == 0, F.lit("AWS/EC2"))
+        .when(eid % 3 == 1, F.lit("aws/Firehose"))
+        .otherwise(F.lit("Custom NS"))
+    )
+    reject = eid % 10 == 9
+    unit_a = F.when(reject, F.lit("")).otherwise(F.lit("Percent"))
+    unit_c = F.when(reject, F.lit("")).otherwise(F.lit("Bytes"))
+
+    def datum(metric_name, unit, ts_ms, mn, mx, sm, cnt):
+        return F.concat(
+            F.lit('{"metric_stream_name":"s'), s(eid % 5),
+            F.lit('","account_id":"'), s(eid % 1000),
+            F.lit('","region":"us-'), s(eid % 2),
+            F.lit('","namespace":"'), ns,
+            F.lit('","metric_name":"'), metric_name,
+            F.lit('","dimensions":{"InstanceId":"i-'), s(eid % 7),
+            F.lit('","az":"a'), s(eid % 2),
+            F.lit('"},"timestamp":'), s(ts_ms),
+            F.lit(',"value":{"max":'), d(mx),
+            F.lit(',"min":'), d(mn),
+            F.lit(',"sum":'), d(sm),
+            F.lit(',"count":'), d(cnt),
+            F.lit('},"unit":"'), unit, F.lit('"}'),
+        )
+
+    m_name = F.concat(F.lit("m"), s(eid % 4))
+    ts0 = F.lit(1704067200000) + (eid % 86400) * 1000
+    datum_a = datum(
+        m_name, unit_a, ts0,
+        (eid % 10) * 0.5, (eid % 10) + 2.25, (eid % 100) * 1.25,
+        (eid % 5) + 0.9,
+    )
+    # same (timestamp, dims) as A → dropped regardless of its values
+    datum_dup = datum(
+        m_name, unit_a, ts0,
+        (eid % 10) * 0.5, (eid % 10) + 2.25, (eid % 100) * 1.25 + 7,
+        (eid % 5) + 0.9,
+    )
+    datum_invalid = datum(m_name, F.lit(""), ts0, 0.0, 0.0, 0.0, 0.0)
+    datum_b = datum(
+        m_name, unit_a, ts0 + 60000,
+        (eid % 10) * 0.5 + 1, (eid % 10) + 3.25, (eid % 100) * 1.25 + 1,
+        (eid % 5) + 1.9,
+    )
+    datum_c = datum(F.lit("net"), unit_c, ts0, 0.5, 2.5, 3.75, 3.0)
+
+    def b64(col):
+        # Spark's base64 is MIME-chunked; Firehose data is unchunked std
+        return F.regexp_replace(
+            F.base64(F.encode(col, "UTF-8")), "[\\r\\n]", ""
+        )
+
+    rec0 = F.concat_ws("\n", datum_a, datum_dup, datum_invalid)
+    rec1 = F.concat(F.concat_ws("\n", datum_b, datum_c), F.lit("\n"))
+    body = F.concat(
+        F.lit('{"requestId":"r'), s(eid),
+        F.lit('","timestamp":1704067200123,"records":[{"data":"'),
+        b64(rec0), F.lit('"},{"data":"'), b64(rec1), F.lit('"}]}'),
+    )
+    common = F.concat(
+        F.lit('{"commonAttributes":{"env":"e'), s(eid % 3),
+        F.lit('","cloud.region":"X"}}'),
+    )
+    reqs = ev.select(
+        F.concat(F.lit("r"), s(eid)).alias("request_id"),
+        body.alias("body"),
+        common.alias("common"),
+    )
+    dps = firehose_cwmetrics(reqs, common_col="common")
+    return dps.select(
+        "request_id",
+        "metric_name",
+        "unit",
+        "time_unix_nano",
+        F.col("resource")["cloud.provider"].alias("provider"),
+        F.col("resource")["cloud.account.id"].alias("account"),
+        F.col("resource")["cloud.region"].alias("region"),
+        F.col("resource")["service.namespace"].alias("service_namespace"),
+        F.col("resource")["service.name"].alias("service_name"),
+        F.col("resource")["aws.cloudwatch.metric_stream_name"].alias(
+            "stream_name"
+        ),
+        F.col("resource")["env"].alias("env"),
+        F.col("dimensions")["InstanceId"].alias("dim_instance"),
+        F.col("dimensions")["az"].alias("dim_az"),
+        F.col("count").alias("cnt"),
+        F.col("sum").alias("sum_v"),
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+    )
+
+
+_SQL_FIREHOSE = """
+WITH ev AS (SELECT event_id FROM events WHERE event_id % 10 <> 9),
+dp AS (
+  SELECT event_id, 0 AS kind FROM ev
+  UNION ALL SELECT event_id, 1 FROM ev
+  UNION ALL SELECT event_id, 2 FROM ev
+)
+SELECT 'r' || event_id AS request_id,
+       CASE WHEN kind = 2 THEN 'net' ELSE 'm' || (event_id % 4) END
+         AS metric_name,
+       CASE WHEN kind = 2 THEN 'Bytes' ELSE 'Percent' END AS unit,
+       CAST((1704067200000 + (event_id % 86400) * 1000
+             + CASE WHEN kind = 1 THEN 60000 ELSE 0 END) * 1000000 AS BIGINT)
+         AS time_unix_nano,
+       'aws' AS provider,
+       CAST(event_id % 1000 AS VARCHAR) AS account,
+       'us-' || (event_id % 2) AS region,
+       CASE event_id % 3 WHEN 0 THEN 'AWS' WHEN 1 THEN 'aws' ELSE NULL END
+         AS service_namespace,
+       CASE event_id % 3 WHEN 0 THEN 'EC2' WHEN 1 THEN 'Firehose'
+            ELSE 'Custom NS' END AS service_name,
+       's' || (event_id % 5) AS stream_name,
+       'e' || (event_id % 3) AS env,
+       'i-' || (event_id % 7) AS dim_instance,
+       'a' || (event_id % 2) AS dim_az,
+       CAST(CASE kind WHEN 0 THEN event_id % 5 WHEN 1 THEN event_id % 5 + 1
+            ELSE 3 END AS BIGINT) AS cnt,
+       CAST(CASE kind WHEN 0 THEN (event_id % 100) * 1.25
+            WHEN 1 THEN (event_id % 100) * 1.25 + 1 ELSE 3.75 END AS DOUBLE)
+         AS sum_v,
+       CAST(CASE kind WHEN 0 THEN (event_id % 10) * 0.5
+            WHEN 1 THEN (event_id % 10) * 0.5 + 1 ELSE 0.5 END AS DOUBLE)
+         AS min_v,
+       CAST(CASE kind WHEN 0 THEN (event_id % 10) + 2.25
+            WHEN 1 THEN (event_id % 10) + 3.25 ELSE 2.5 END AS DOUBLE)
+         AS max_v
+FROM dp
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -5918,6 +6080,7 @@ REGISTRY: list[Query] = [
     Query("azure_logs_parse", _q_azure_logs_parse, _SQL_AZURE_LOGS),
     Query("cloudflare_parse", _q_cloudflare_parse, _SQL_CLOUDFLARE),
     Query("gcp_log_parse", _q_gcp_log_parse, _SQL_GCP_LOGS),
+    Query("firehose_cwmetrics", _q_firehose_cwmetrics, _SQL_FIREHOSE),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
