@@ -5977,6 +5977,115 @@ FROM dp
 """
 
 
+def _q_cwlogs_marshal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awscloudwatchlogsexporter
+    (`exporter/awscloudwatchlogsexporter/exporter.go:160-250`,
+    `internal/aws/cwlogs/pusher.go:63-174`): flat log records from the
+    events table → cwLogBody message JSON (struct field order +
+    omitempty + Go-JSON sorted attribute maps) → validated events
+    (every 97th record is 15 days old and dropped by the 14-day
+    window) → per-stream PutLogEvents batch assignment (500-event cap
+    here so ~20 batches exercise rotation) with the stable timestamp
+    sort. Oracle rebuilds every message string and replays the batch
+    arithmetic closed-form."""
+    from .operators.cwlogs_exporter import (
+        assign_cwlog_batches,
+        cwlog_events,
+    )
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    base_ms = 1704067200000
+    ts_ms = (
+        F.lit(base_ms)
+        + (eid % 86400) * 1000
+        - F.when(eid % 97 == 0, F.lit(15 * 24 * 3600 * 1000)).otherwise(
+            F.lit(0)
+        )
+    )
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    rec = ev.select(
+        eid.alias("arrival"),
+        (ts_ms * 1_000_000).cast("long").alias("time_unix_nano"),
+        F.concat(
+            F.lit("evt "), eid.cast("string"), F.lit(" "),
+            F.col("event_type"),
+        ).alias("body"),
+        (eid % 5).cast("int").alias("severity_number"),
+        F.when(eid % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("S"), (eid % 5).cast("string"))
+        ).alias("severity_text"),
+        (eid % 11).cast("int").alias("dropped_attributes_count"),
+        (eid % 2).cast("int").alias("flags"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(
+            F.lit("")
+        ).alias("trace_id"),
+        F.when(eid % 4 == 0, F.lpad(hex1, 16, "0")).otherwise(
+            F.lit("")
+        ).alias("span_id"),
+        F.create_map(
+            F.lit("env"), F.concat(F.lit("e"), (eid % 4).cast("string")),
+            F.lit("k"), (eid % 7).cast("string"),
+        ).alias("attributes"),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string")),
+        ).alias("resource"),
+        F.when(eid % 2 == 0, F.lit("lib")).otherwise(F.lit("")).alias(
+            "scope_name"
+        ),
+        F.lit("1.0").alias("scope_version"),
+    )
+    events = cwlog_events(
+        rec, "app-logs", "collector-0", now_ms=base_ms + 86400000
+    )
+    batched = assign_cwlog_batches(events, max_batch_events=500)
+    return batched.select(
+        "arrival", "group_name", "stream_name", "batch_id", "seq",
+        "timestamp_ms", "message",
+    )
+
+
+_SQL_CWLOGS = """
+WITH kept AS (
+  SELECT event_id, event_type,
+         1704067200000 + (event_id % 86400) * 1000 AS ts_ms,
+         row_number() OVER (ORDER BY event_id) - 1 AS rn
+  FROM events WHERE event_id % 97 <> 0
+)
+SELECT event_id AS arrival,
+       'app-logs' AS group_name,
+       'collector-0' AS stream_name,
+       CAST(rn // 500 AS INT) AS batch_id,
+       CAST(row_number() OVER (PARTITION BY rn // 500
+                               ORDER BY ts_ms, event_id) - 1 AS INT) AS seq,
+       ts_ms AS timestamp_ms,
+       '{"body":"evt ' || event_id || ' ' || event_type || '"'
+       || CASE WHEN event_id % 5 <> 0
+               THEN ',"severity_number":' || (event_id % 5)
+                    || ',"severity_text":"S' || (event_id % 5) || '"'
+               ELSE '' END
+       || CASE WHEN event_id % 11 <> 0
+               THEN ',"dropped_attributes_count":' || (event_id % 11)
+               ELSE '' END
+       || CASE WHEN event_id % 2 <> 0 THEN ',"flags":1' ELSE '' END
+       || CASE WHEN event_id % 3 = 0
+               THEN ',"trace_id":"'
+                    || lpad(lower(to_hex(event_id + 1)), 32, '0') || '"'
+               ELSE '' END
+       || CASE WHEN event_id % 4 = 0
+               THEN ',"span_id":"'
+                    || lpad(lower(to_hex(event_id + 1)), 16, '0') || '"'
+               ELSE '' END
+       || ',"attributes":{"env":"e' || (event_id % 4) || '","k":"'
+       || (event_id % 7) || '"}'
+       || CASE WHEN event_id % 2 = 0
+               THEN ',"scope":{"name":"lib","version":"1.0"}' ELSE '' END
+       || ',"resource":{"team":"t' || (event_id % 6) || '"}}' AS message
+FROM kept
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6081,6 +6190,7 @@ REGISTRY: list[Query] = [
     Query("cloudflare_parse", _q_cloudflare_parse, _SQL_CLOUDFLARE),
     Query("gcp_log_parse", _q_gcp_log_parse, _SQL_GCP_LOGS),
     Query("firehose_cwmetrics", _q_firehose_cwmetrics, _SQL_FIREHOSE),
+    Query("cwlogs_marshal", _q_cwlogs_marshal, _SQL_CWLOGS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
