@@ -6086,6 +6086,103 @@ FROM kept
 """
 
 
+def _q_clickhouse_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clickhouseexporter log path
+    (`exporter/clickhouseexporter/exporter_logs.go:88-105`): flat log
+    records synthesized from the events table → the 15-column INSERT
+    row shape (pure codegen select). Every 4th record's resource lacks
+    ``service.name`` → ServiceName "" (the reference's sticky-variable
+    quirk is documented as a divergence in the module docstring).
+    Oracle recomputes every bound column closed-form."""
+    from .operators.clickhouse_exporter import clickhouse_log_rows
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    svc_map = F.when(
+        eid % 4 == 0, F.create_map().cast("map<string,string>")
+    ).otherwise(
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (eid % 3).cast("string")),
+        )
+    )
+    rec = ev.select(
+        eid.alias("arrival"),
+        (
+            F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+        ).cast("long").alias("time_unix_nano"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.when(eid % 5 == 0, F.lpad(hex1, 16, "0")).otherwise(F.lit(""))
+        .alias("span_id"),
+        (eid % 2).cast("int").alias("flags"),
+        F.concat(F.lit("S"), (eid % 5).cast("string")).alias("severity_text"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.concat(
+            F.lit("evt "), eid.cast("string"), F.lit(" "),
+            F.col("event_type"),
+        ).alias("body"),
+        F.map_concat(
+            F.create_map(
+                F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string"))
+            ),
+            svc_map,
+        ).alias("resource"),
+        F.create_map(
+            F.lit("k"), (eid % 7).cast("string")
+        ).alias("attributes"),
+        F.when(eid % 2 == 0, F.lit("lib")).otherwise(F.lit("")).alias(
+            "scope_name"
+        ),
+        F.lit("1.0").alias("scope_version"),
+    )
+    rows = clickhouse_log_rows(rec)
+    return rows.select(
+        "Timestamp",
+        "TraceId",
+        "SpanId",
+        "TraceFlags",
+        "SeverityText",
+        "SeverityNumber",
+        "ServiceName",
+        "Body",
+        "ResourceSchemaUrl",
+        F.col("ResourceAttributes")["team"].alias("res_team"),
+        F.col("ResourceAttributes")["service.name"].alias("res_service"),
+        "ScopeName",
+        "ScopeVersion",
+        F.col("LogAttributes")["k"].alias("attr_k"),
+    )
+
+
+_SQL_CLICKHOUSE = """
+SELECT CAST(1704067200000000000 + (event_id % 86400) * 1000000000 AS BIGINT)
+         AS "Timestamp",
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0') ELSE '' END
+         AS "TraceId",
+       CASE WHEN event_id % 5 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 16, '0') ELSE '' END
+         AS "SpanId",
+       CAST(event_id % 2 AS INT) AS "TraceFlags",
+       'S' || (event_id % 5) AS "SeverityText",
+       CAST(event_id % 25 AS INT) AS "SeverityNumber",
+       CASE WHEN event_id % 4 = 0 THEN ''
+            ELSE 'svc' || (event_id % 3) END AS "ServiceName",
+       'evt ' || event_id || ' ' || event_type AS "Body",
+       '' AS "ResourceSchemaUrl",
+       't' || (event_id % 6) AS res_team,
+       CASE WHEN event_id % 4 = 0 THEN NULL
+            ELSE 'svc' || (event_id % 3) END AS res_service,
+       CASE WHEN event_id % 2 = 0 THEN 'lib' ELSE '' END AS "ScopeName",
+       '1.0' AS "ScopeVersion",
+       CAST(event_id % 7 AS VARCHAR) AS attr_k
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6191,6 +6288,7 @@ REGISTRY: list[Query] = [
     Query("gcp_log_parse", _q_gcp_log_parse, _SQL_GCP_LOGS),
     Query("firehose_cwmetrics", _q_firehose_cwmetrics, _SQL_FIREHOSE),
     Query("cwlogs_marshal", _q_cwlogs_marshal, _SQL_CWLOGS),
+    Query("clickhouse_rows", _q_clickhouse_rows, _SQL_CLICKHOUSE),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
