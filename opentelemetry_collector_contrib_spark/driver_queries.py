@@ -6183,6 +6183,88 @@ FROM events
 """
 
 
+def _q_mezmo_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mezmoexporter (`exporter/mezmoexporter/exporter.go:76-137`):
+    flat records from the events table → marshaled Mezmo ingest lines
+    — appname-attribute app, ""→"info" level default, zero-timestamp →
+    pinned now, meta assembled from host.name + trace.id + Str()-typed
+    log attributes, Go-JSON sorted meta keys. Oracle rebuilds every
+    line string closed-form."""
+    from .operators.mezmo_exporter import mezmo_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    now_ms = 1704153600000
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        (F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000)
+    ).cast("long")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    app_map = F.when(
+        eid % 3 == 0, F.create_map().cast("map<string,string>")
+    ).otherwise(
+        F.create_map(
+            F.lit("appname"),
+            F.concat(F.lit("app"), (eid % 3).cast("string")),
+        )
+    )
+    res_map = F.when(
+        eid % 2 == 0,
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), (eid % 6).cast("string"))
+        ),
+    ).otherwise(F.create_map().cast("map<string,string>"))
+    rec = ev.select(
+        F.concat(F.lit("b"), (eid % 4).cast("string")).alias("batch_key"),
+        eid.alias("arrival"),
+        ts_ns.alias("time_unix_nano"),
+        F.concat(
+            F.lit("evt "), eid.cast("string"), F.lit(" "),
+            F.col("event_type"),
+        ).alias("body"),
+        F.when(eid % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("S"), (eid % 5).cast("string"))
+        ).alias("severity_text"),
+        F.when(eid % 4 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.map_concat(
+            app_map, F.create_map(F.lit("k"), (eid % 7).cast("string"))
+        ).alias("attributes"),
+        res_map.alias("resource"),
+    )
+    return mezmo_lines(rec, now_ms=now_ms)
+
+
+_SQL_MEZMO = """
+SELECT 'b' || (event_id % 4) AS batch_key,
+       event_id AS arrival,
+       CASE WHEN event_id % 13 = 0 THEN 1704153600000
+            ELSE 1704067200000 + (event_id % 86400) * 1000 END
+         AS timestamp_ms,
+       '{"timestamp":'
+       || CASE WHEN event_id % 13 = 0 THEN 1704153600000
+               ELSE 1704067200000 + (event_id % 86400) * 1000 END
+       || ',"line":"evt ' || event_id || ' ' || event_type || '"'
+       || ',"app":"'
+       || CASE WHEN event_id % 3 = 0 THEN '' ELSE 'app' || (event_id % 3) END
+       || '","level":"'
+       || CASE WHEN event_id % 5 = 0 THEN 'info'
+               ELSE 'S' || (event_id % 5) END
+       || '","meta":{'
+       || CASE WHEN event_id % 3 <> 0
+               THEN '"appname":"app' || (event_id % 3) || '",' ELSE '' END
+       || CASE WHEN event_id % 2 = 0
+               THEN '"hostname":"h' || (event_id % 6) || '",' ELSE '' END
+       || '"k":"' || (event_id % 7) || '"'
+       || CASE WHEN event_id % 4 = 0
+               THEN ',"trace.id":"'
+                    || lpad(lower(to_hex(event_id + 1)), 32, '0') || '"'
+               ELSE '' END
+       || '}}' AS line_json
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6289,6 +6371,7 @@ REGISTRY: list[Query] = [
     Query("firehose_cwmetrics", _q_firehose_cwmetrics, _SQL_FIREHOSE),
     Query("cwlogs_marshal", _q_cwlogs_marshal, _SQL_CWLOGS),
     Query("clickhouse_rows", _q_clickhouse_rows, _SQL_CLICKHOUSE),
+    Query("mezmo_lines", _q_mezmo_lines, _SQL_MEZMO),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
