@@ -6265,6 +6265,99 @@ FROM events
 """
 
 
+def _q_opensearch_sso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """opensearchexporter SS4O mode (`exporter/opensearchexporter/
+    encoder.go:54-99`): flat records from the events table → SS4O
+    documents — struct field order, omitempty (zero severities, empty
+    ids), data_stream injection into attributes, Go time.Time
+    RFC 3339 rendering, ss4o index naming + create action lines.
+    Oracle rebuilds every document closed-form."""
+    from .operators.opensearch_exporter import opensearch_bulk_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    rec = ev.select(
+        eid.alias("arrival"),
+        (
+            F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+        ).cast("long").alias("time_unix_nano"),
+        F.concat(
+            F.lit("evt "), eid.cast("string"), F.lit(" "),
+            F.col("event_type"),
+        ).alias("body"),
+        F.when(eid % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("S"), (eid % 5).cast("string"))
+        ).alias("severity_text"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.when(eid % 5 == 0, F.lpad(hex1, 16, "0")).otherwise(F.lit(""))
+        .alias("span_id"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string"))
+        ).alias("resource"),
+        F.when(eid % 2 == 0, F.lit("lib")).otherwise(F.lit("")).alias(
+            "scope_name"
+        ),
+        F.lit("1.0").alias("scope_version"),
+    )
+    lines = opensearch_bulk_lines(
+        rec.select(
+            "arrival", "time_unix_nano", "body", "severity_text",
+            "severity_number", "trace_id", "span_id", "attributes",
+            "resource", "scope_name", "scope_version",
+        ),
+        dataset="ds",
+        namespace="prod",
+        schema_url="https://opentelemetry.io/schemas/1.18.0",
+        observed_ns=1704067200_000000000,
+    )
+    # row order is irrelevant: the compare sorts, and each document
+    # embeds its event_id in the body
+    return lines.select("action_line", "document")
+
+
+_SQL_OPENSEARCH = """
+SELECT '{"create":{"_index":"ss4o_logs-ds-prod"}}' AS action_line,
+       '{"attributes":{"data_stream":{"dataset":"ds","namespace":"prod",'
+       || '"type":"record"},"k":"' || (event_id % 7) || '"}'
+       || ',"body":"evt ' || event_id || ' ' || event_type || '"'
+       || ',"instrumentationScope":{'
+       || CASE WHEN event_id % 2 = 0 THEN '"name":"lib",' ELSE '' END
+       || '"schemaUrl":"https://opentelemetry.io/schemas/1.18.0"'
+       || ',"version":"1.0"}'
+       || ',"observedTimestamp":"2024-01-01T00:00:00Z"'
+       || ',"resource":{"team":"t' || (event_id % 6) || '"}'
+       || ',"schemaUrl":"https://opentelemetry.io/schemas/1.18.0"'
+       || ',"severity":{'
+       || CASE WHEN event_id % 5 <> 0
+               THEN '"text":"S' || (event_id % 5) || '"' ELSE '' END
+       || CASE WHEN event_id % 25 <> 0
+               THEN CASE WHEN event_id % 5 <> 0 THEN ',' ELSE '' END
+                    || '"number":' || (event_id % 25)
+               ELSE '' END
+       || '}'
+       || CASE WHEN event_id % 5 = 0
+               THEN ',"spanId":"'
+                    || lpad(lower(to_hex(event_id + 1)), 16, '0') || '"'
+               ELSE '' END
+       || ',"@timestamp":"'
+       || strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                   '%Y-%m-%dT%H:%M:%S') || 'Z"'
+       || CASE WHEN event_id % 3 = 0
+               THEN ',"traceId":"'
+                    || lpad(lower(to_hex(event_id + 1)), 32, '0') || '"'
+               ELSE '' END
+       || '}' AS document
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6372,6 +6465,7 @@ REGISTRY: list[Query] = [
     Query("cwlogs_marshal", _q_cwlogs_marshal, _SQL_CWLOGS),
     Query("clickhouse_rows", _q_clickhouse_rows, _SQL_CLICKHOUSE),
     Query("mezmo_lines", _q_mezmo_lines, _SQL_MEZMO),
+    Query("opensearch_sso", _q_opensearch_sso, _SQL_OPENSEARCH),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
