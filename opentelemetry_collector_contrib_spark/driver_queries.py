@@ -6358,6 +6358,96 @@ FROM events
 """
 
 
+def _q_kinesis_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awskinesisexporter (`internal/batch/encode_marshaler.go:29-58`,
+    `batch.go:79-117`): one otlp_json record per resource group (500
+    teams), md5-pinned partition keys, 64-record PutRecords chunking —
+    then every record's bytes decode BACK through the otlpjson parser
+    and join their chunk metadata, so grouping, marshaling, and chunk
+    arithmetic are all value-checked. Oracle recomputes rows + chunk
+    assignment closed-form (DuckDB md5 = the same pinned key)."""
+    from .operators.kinesis_exporter import kinesis_put_records
+    from .sources.readers import parse_otlp_json
+
+    ensure_shipped(spark)
+    ensure_utc(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    rec = ev.select(
+        (
+            (F.lit(1704067200) + eid % 86400) * F.lit(1_000_000_000)
+        ).cast("long").alias("time_unix_nano"),
+        (eid % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(F.lit("evt <"), eid.cast("string"), F.lit(">")).alias(
+            "body"
+        ),
+        F.create_map(F.lit("k"), (eid % 5).cast("string")).alias(
+            "attributes"
+        ),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 500).cast("string"))
+        ).alias("resource"),
+        F.lit("recv/kinesis").alias("scope_name"),
+        F.lit("").alias("trace_id"),
+        F.lit("").alias("span_id"),
+    )
+    recs = kinesis_put_records(
+        rec, encoding="otlp_json", max_records_per_batch=64
+    )
+    decoded = parse_otlp_json(
+        recs.select(
+            F.col("data").cast("string").alias("value"),
+            "partition_key", "chunk_id", "seq",
+        ),
+        json_col="value",
+    )
+    # parse_otlp_json keeps only the flattened record columns; re-join
+    # the chunk metadata through the pinned md5 key
+    meta = recs.select("partition_key", "chunk_id", "seq")
+    keyed = decoded.withColumn(
+        "partition_key",
+        F.md5(
+            F.concat(
+                F.lit('{"team":"'), F.col("resource")["team"], F.lit('"}')
+            )
+        ),
+    )
+    out = keyed.join(F.broadcast(meta), "partition_key")
+    return out.select(
+        F.unix_timestamp(F.col("ts")).cast("long").alias("ts_unix"),
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k"].alias("attr_k"),
+        F.col("resource")["team"].alias("team"),
+        "partition_key",
+        "chunk_id",
+        "seq",
+    )
+
+
+_SQL_KINESIS = """
+WITH keys AS (
+  SELECT DISTINCT md5('{"team":"t' || (event_id % 500) || '"}') AS pk
+  FROM events
+), ordered AS (
+  SELECT pk, row_number() OVER (ORDER BY pk) - 1 AS rn FROM keys
+)
+SELECT CAST(1704067200 + e.event_id % 86400 AS BIGINT) AS ts_unix,
+       CAST(e.event_id % 24 + 1 AS INT) AS severity_number,
+       e.event_type AS severity_text,
+       'evt <' || e.event_id || '>' AS body,
+       CAST(e.event_id % 5 AS VARCHAR) AS attr_k,
+       't' || (e.event_id % 500) AS team,
+       o.pk AS partition_key,
+       CAST(o.rn // 64 AS INT) AS chunk_id,
+       CAST(o.rn % 64 AS INT) AS seq
+FROM events e
+JOIN ordered o ON o.pk = md5('{"team":"t' || (e.event_id % 500) || '"}')
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6466,6 +6556,7 @@ REGISTRY: list[Query] = [
     Query("clickhouse_rows", _q_clickhouse_rows, _SQL_CLICKHOUSE),
     Query("mezmo_lines", _q_mezmo_lines, _SQL_MEZMO),
     Query("opensearch_sso", _q_opensearch_sso, _SQL_OPENSEARCH),
+    Query("kinesis_chunks", _q_kinesis_chunks, _SQL_KINESIS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
