@@ -6448,6 +6448,93 @@ JOIN ordered o ON o.pk = md5('{"team":"t' || (e.event_id % 500) || '"}')
 """
 
 
+def _q_sls_log_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """alibabacloudlogservice exporter
+    (`logsdata_to_logservice.go:36-190`): flat records from the events
+    table → SLS content columns — host/service extraction with ""
+    fallbacks, leftover-resource + attribute Go-JSON, decimal ns
+    strings, hex flags, every 17th record's body NULL (skipped like
+    ValueTypeEmpty), every 13th timestamp zero (Time = pinned now).
+    Oracle recomputes every content value closed-form."""
+    from .operators.alibaba_logservice_exporter import sls_log_rows
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    now_sec = 1704153600
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        F.lit(1704067200_000000000)
+        + (eid % 86400) * 1_000_000_000
+        + eid % 1000
+    ).cast("long")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    res = F.map_concat(
+        F.when(
+            eid % 2 == 0,
+            F.create_map(
+                F.lit("host.name"),
+                F.concat(F.lit("h"), (eid % 5).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (eid % 3).cast("string")),
+            F.lit("team"),
+            F.concat(F.lit("t"), (eid % 6).cast("string")),
+        ),
+    )
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.when(eid % 17 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(
+                F.lit("evt "), eid.cast("string"), F.lit(" "),
+                F.col("event_type"),
+            )
+        ).alias("body"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.concat(F.lit("S"), (eid % 5).cast("string")).alias(
+            "severity_text"
+        ),
+        (eid % 300).cast("int").alias("flags"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+        res.alias("resource"),
+        F.lit("lib").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.lit("").alias("span_id"),
+    )
+    return sls_log_rows(rec, now_sec=now_sec)
+
+
+_SQL_SLS = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'h' || (event_id % 5) ELSE '' END
+         AS host,
+       'svc' || (event_id % 3) AS service,
+       '{"team":"t' || (event_id % 6) || '"}' AS resource_json,
+       'lib' AS otlp_name,
+       '1.0' AS otlp_version,
+       CAST(CASE WHEN event_id % 13 = 0 THEN 0
+            ELSE 1704067200000000000 + (event_id % 86400) * 1000000000
+                 + event_id % 1000 END AS VARCHAR) AS time_unix_nano,
+       CAST(event_id % 25 AS VARCHAR) AS severity_number,
+       'S' || (event_id % 5) AS severity_text,
+       '{"k":"' || (event_id % 7) || '"}' AS attribute_json,
+       'evt ' || event_id || ' ' || event_type AS content,
+       lower(to_hex(event_id % 300)) AS flags_hex,
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0') ELSE '' END
+         AS trace_id,
+       '' AS span_id,
+       CAST(CASE WHEN event_id % 13 = 0 THEN 1704153600
+            ELSE 1704067200 + event_id % 86400 END AS BIGINT) AS time_sec
+FROM events
+WHERE event_id % 17 <> 0
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6557,6 +6644,7 @@ REGISTRY: list[Query] = [
     Query("mezmo_lines", _q_mezmo_lines, _SQL_MEZMO),
     Query("opensearch_sso", _q_opensearch_sso, _SQL_OPENSEARCH),
     Query("kinesis_chunks", _q_kinesis_chunks, _SQL_KINESIS),
+    Query("sls_log_rows", _q_sls_log_rows, _SQL_SLS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
