@@ -14,6 +14,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -6535,6 +6536,97 @@ WHERE event_id % 17 <> 0
 """
 
 
+def _q_pubsub_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """googlecloudpubsubexporter (`exporter.go:112-156`,
+    `watermark.go:33-60`): 20 batches from the events table → one
+    Pub/Sub message each — CloudEvents attributes, earliest-watermark
+    ce-time (JVM min with drift clamps), and the otlp_proto payload
+    decoded BACK to a per-batch record count so the marshal
+    round-trips. Oracle recomputes attributes, watermark, and counts
+    closed-form."""
+    from pyspark.sql import types as T
+
+    from .functions.otlp_proto import decode_logs
+    from .operators.pubsub_exporter import (
+        ce_time_attr,
+        logs_watermark,
+        pubsub_messages,
+    )
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    base = 1704067200_000000000
+    processing = base + 86400 * 1_000_000_000
+    drift = 86400 * 1_000_000_000
+    rec = ev.select(
+        F.concat(F.lit("b"), (eid % 20).cast("string")).alias("batch_key"),
+        (F.lit(base) + (eid % 86400) * 1_000_000_000).cast("long").alias(
+            "time_unix_nano"
+        ),
+        (eid % 24 + 1).cast("int").alias("severity_number"),
+        F.col("event_type").alias("severity_text"),
+        F.concat(F.lit("evt "), eid.cast("string")).alias("body"),
+        F.create_map(F.lit("k"), (eid % 5).cast("string")).alias(
+            "attributes"
+        ),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string"))
+        ).alias("resource"),
+        F.lit("recv/pubsub").alias("scope_name"),
+        F.lit("").alias("trace_id"),
+        F.lit("").alias("span_id"),
+    )
+    msgs = pubsub_messages(rec, ce_source="otelcol/pubsub")
+    wm = logs_watermark(
+        rec, "earliest", processing_time_ns=processing,
+        allowed_drift_ns=drift,
+    )
+
+    @F.pandas_udf(T.IntegerType())
+    def record_count(data: pd.Series) -> pd.Series:
+        return data.map(lambda b: len(decode_logs(bytes(b))))
+
+    @F.pandas_udf(T.StringType())
+    def ce_time(ns: pd.Series) -> pd.Series:
+        return ns.map(lambda v: ce_time_attr(int(v)))
+
+    return (
+        msgs.join(wm, "batch_key")
+        .select(
+            "batch_key",
+            "ce_specversion",
+            "ce_source",
+            "ce_type",
+            "content_type",
+            "content_encoding",
+            "watermark_ns",
+            ce_time(F.col("watermark_ns")).alias("ce_time"),
+            record_count(F.col("data")).alias("record_count"),
+        )
+    )
+
+
+_SQL_PUBSUB = """
+WITH b AS (
+  SELECT 'b' || (event_id % 20) AS batch_key,
+         1704067200000000000 + (event_id % 86400) * 1000000000 AS ts
+  FROM events
+)
+SELECT batch_key,
+       '1.0' AS ce_specversion,
+       'otelcol/pubsub' AS ce_source,
+       'org.opentelemetry.otlp.logs.v1' AS ce_type,
+       'application/protobuf' AS content_type,
+       '' AS content_encoding,
+       CAST(min(ts) AS BIGINT) AS watermark_ns,
+       strftime(make_timestamp(CAST(min(ts) // 1000 AS BIGINT)),
+                '%Y-%m-%dT%H:%M:%S') || 'Z' AS ce_time,
+       CAST(count(*) AS INT) AS record_count
+FROM b GROUP BY batch_key
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6645,6 +6737,7 @@ REGISTRY: list[Query] = [
     Query("opensearch_sso", _q_opensearch_sso, _SQL_OPENSEARCH),
     Query("kinesis_chunks", _q_kinesis_chunks, _SQL_KINESIS),
     Query("sls_log_rows", _q_sls_log_rows, _SQL_SLS),
+    Query("pubsub_watermarks", _q_pubsub_watermarks, _SQL_PUBSUB),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
