@@ -6627,6 +6627,53 @@ FROM b GROUP BY batch_key
 """
 
 
+def _q_sqlquery_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sqlqueryreceiver log path
+    (`receiver/sqlqueryreceiver/logs_receiver.go:200-330`): two
+    incremental collects over the events table as the SQL source —
+    the parameterized tracking predicate windows each poll to 5999
+    ids, the tracking value advances to the last collected id, and
+    each collect stamps its own observed timestamp. Output = union of
+    both collects; oracle recomputes the windows closed-form."""
+    from .sources.sqlquery_receiver import SqlQueryLogsReceiver
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.createOrReplaceTempView("sqlq_events")
+    sql = (
+        "SELECT event_id, 'evt ' || event_id || ' ' || event_type AS body "
+        "FROM sqlq_events "
+        "WHERE event_id > CAST(:tracking_value AS BIGINT) "
+        "AND event_id <= CAST(:tracking_value AS BIGINT) + 5999 "
+        "ORDER BY event_id"
+    )
+    r = SqlQueryLogsReceiver(
+        spark, sql, ["body"], tracking_column="event_id",
+        tracking_start_value="-1",
+    )
+    r.start()
+    first = r.collect(observed_ns=42).withColumn(
+        "collect_index", F.lit(0).cast("int")
+    )
+    second = r.collect(observed_ns=43).withColumn(
+        "collect_index", F.lit(1).cast("int")
+    )
+    return first.unionAll(second).select(
+        "collect_index", "logs_config_index", "body",
+        "observed_time_unix_nano",
+    )
+
+
+_SQL_SQLQUERY = """
+SELECT CASE WHEN event_id <= 5998 THEN 0 ELSE 1 END AS collect_index,
+       0 AS logs_config_index,
+       'evt ' || event_id || ' ' || event_type AS body,
+       CAST(CASE WHEN event_id <= 5998 THEN 42 ELSE 43 END AS BIGINT)
+         AS observed_time_unix_nano
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6738,6 +6785,7 @@ REGISTRY: list[Query] = [
     Query("kinesis_chunks", _q_kinesis_chunks, _SQL_KINESIS),
     Query("sls_log_rows", _q_sls_log_rows, _SQL_SLS),
     Query("pubsub_watermarks", _q_pubsub_watermarks, _SQL_PUBSUB),
+    Query("sqlquery_logs", _q_sqlquery_logs, _SQL_SQLQUERY),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
