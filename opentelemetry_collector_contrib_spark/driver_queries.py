@@ -6674,6 +6674,107 @@ FROM events
 """
 
 
+def _q_mongodb_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mongodbatlasreceiver host-log path (`log_decoder.go:29-55`,
+    `mongodb_event_to_logdata.go:147-201`): synthesize MongoDB 4.4
+    structured JSON log lines from the events table — full severity
+    table incl. an unknown code (unset), exact-3-digit millisecond
+    timestamps, typed attr values rendered to the string schema,
+    every 19th line malformed and skipped. Oracle rebuilds every
+    field (and the raw-line body) closed-form."""
+    from .sources.mongodbatlas_receiver import mongodb_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    sev = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ["F", "E", "W", "I", "D", "D1", "D2", "D3", "D4", "D5",
+                   "X"]]),
+        (eid % 11 + 1).cast("int"),
+    )
+    date = F.concat(
+        F.from_unixtime(
+            F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+        ),
+        F.lit("."),
+        F.lpad((eid % 1000).cast("string"), 3, "0"),
+        F.lit("+00:00"),
+    )
+    line = F.when(eid % 19 == 0, F.lit("oops{")).otherwise(
+        F.concat(
+            F.lit('{"t":{"$date":"'), date,
+            F.lit('"},"s":"'), sev,
+            F.lit('","c":"'),
+            F.when(eid % 2 == 0, F.lit("NETWORK")).otherwise(
+                F.lit("STORAGE")
+            ),
+            F.lit('","id":'), eid.cast("string"),
+            F.lit(',"ctx":"conn'), (eid % 50).cast("string"),
+            F.lit('","msg":"evt '), eid.cast("string"),
+            F.lit('","attr":{"conn":'), (eid % 97).cast("string"),
+            F.lit("}}"),
+        )
+    )
+    recs = mongodb_log_records(
+        ev.select(line.alias("value")),
+        org="org1", project="proj1", cluster="cl1", region="US_EAST_1",
+        provider="AWS", hostname="host-0", log_name="mongodb.gz",
+        observed_ns=77,
+    )
+    return recs.select(
+        "time_unix_nano",
+        "observed_time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["message"].alias("message"),
+        F.col("attributes")["component"].alias("component"),
+        F.col("attributes")["context"].alias("context"),
+        F.col("attributes")["id"].alias("log_id"),
+        F.col("attributes")["conn"].alias("conn"),
+        F.col("attributes")["log_name"].alias("log_name"),
+        F.col("resource")["mongodb_atlas.org"].alias("org"),
+        F.col("resource")["mongodb_atlas.host.name"].alias("host"),
+    )
+
+
+_SQL_MONGODB = """
+WITH src AS (
+  SELECT event_id,
+         ['F','E','W','I','D','D1','D2','D3','D4','D5','X']
+           [event_id % 11 + 1] AS sev,
+         strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                  '%Y-%m-%dT%H:%M:%S')
+         || '.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')
+         || '+00:00' AS date,
+         CASE WHEN event_id % 2 = 0 THEN 'NETWORK' ELSE 'STORAGE' END AS comp
+  FROM events WHERE event_id % 19 <> 0
+)
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000
+            + (event_id % 1000) * 1000000 AS BIGINT) AS time_unix_nano,
+       CAST(77 AS BIGINT) AS observed_time_unix_nano,
+       CAST(CASE sev WHEN 'F' THEN 21 WHEN 'E' THEN 17 WHEN 'W' THEN 13
+            WHEN 'I' THEN 9 WHEN 'D' THEN 5 WHEN 'D1' THEN 5
+            WHEN 'D2' THEN 6 WHEN 'D3' THEN 7 WHEN 'D4' THEN 8
+            WHEN 'D5' THEN 8 ELSE 0 END AS INT) AS severity_number,
+       CASE WHEN sev = 'X' THEN '' ELSE sev END AS severity_text,
+       '{"t":{"$date":"' || date || '"},"s":"' || sev || '","c":"' || comp
+       || '","id":' || event_id || ',"ctx":"conn' || (event_id % 50)
+       || '","msg":"evt ' || event_id || '","attr":{"conn":'
+       || (event_id % 97) || '}}' AS body,
+       'evt ' || event_id AS message,
+       comp AS component,
+       'conn' || (event_id % 50) AS context,
+       CAST(event_id AS VARCHAR) AS log_id,
+       CAST(event_id % 97 AS VARCHAR) AS conn,
+       'mongodb.gz' AS log_name,
+       'org1' AS org,
+       'host-0' AS host
+FROM src
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6786,6 +6887,7 @@ REGISTRY: list[Query] = [
     Query("sls_log_rows", _q_sls_log_rows, _SQL_SLS),
     Query("pubsub_watermarks", _q_pubsub_watermarks, _SQL_PUBSUB),
     Query("sqlquery_logs", _q_sqlquery_logs, _SQL_SQLQUERY),
+    Query("mongodb_logs_parse", _q_mongodb_logs_parse, _SQL_MONGODB),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
