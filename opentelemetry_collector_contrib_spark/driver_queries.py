@@ -6775,6 +6775,100 @@ FROM src
 """
 
 
+def _q_k8s_events_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8seventsreceiver (`k8s_event_to_logdata.go:26-85`,
+    `receiver.go:143-155`): synthesize corev1.Event JSON from the
+    events table — eventTime-over-lastTimestamp preference (every 4th
+    event carries a microsecond eventTime), Normal/Warning/unknown
+    severity casing, zero counts omitted, metav1.Time.String()
+    start_time rendering. Oracle recomputes every field closed-form."""
+    from .sources.k8s_receivers import k8s_event_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    iso = F.concat(
+        F.from_unixtime(
+            F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+        ),
+        F.lit("Z"),
+    )
+    etype = (
+        F.when(eid % 3 == 0, F.lit("Normal"))
+        .when(eid % 3 == 1, F.lit("Warning"))
+        .otherwise(F.lit("Evicted"))
+    )
+    event_time = F.when(
+        eid % 4 == 0,
+        F.concat(
+            F.from_unixtime(
+                F.lit(1704067200) + eid % 86400, "yyyy-MM-dd'T'HH:mm:ss"
+            ),
+            F.lit(".123456Z"),
+        ),
+    )
+    line = F.concat(
+        F.lit('{"metadata":{"name":"ev'), eid.cast("string"),
+        F.lit('","uid":"mu'), eid.cast("string"),
+        F.lit('","creationTimestamp":"'), iso,
+        F.lit('"},"involvedObject":{"kind":"Pod","name":"p'),
+        (eid % 40).cast("string"),
+        F.lit('","uid":"ou'), eid.cast("string"),
+        F.lit('","apiVersion":"v1","resourceVersion":"'),
+        (eid % 1000).cast("string"),
+        F.lit('","namespace":"ns'), (eid % 5).cast("string"),
+        F.lit('"},"source":{"host":"node-'), (eid % 8).cast("string"),
+        F.lit('"},"type":"'), etype,
+        F.lit('","reason":"R'), (eid % 6).cast("string"),
+        F.lit('","action":"A'), (eid % 3).cast("string"),
+        F.lit('","message":"msg '), eid.cast("string"),
+        F.lit('","count":'), (eid % 7).cast("string"),
+        F.when(
+            event_time.isNotNull(),
+            F.concat(F.lit(',"eventTime":"'), event_time, F.lit('"')),
+        ).otherwise(F.lit("")),
+        F.lit(',"lastTimestamp":"'), iso, F.lit('"}'),
+    )
+    recs = k8s_event_records(ev.select(line.alias("value")), observed_ns=11)
+    return recs.select(
+        "time_unix_nano",
+        "observed_time_unix_nano",
+        "severity_number",
+        "severity_text",
+        "body",
+        F.col("attributes")["k8s.event.reason"].alias("reason"),
+        F.col("attributes")["k8s.event.start_time"].alias("start_time"),
+        F.col("attributes")["k8s.namespace.name"].alias("namespace"),
+        F.col("attributes")["k8s.event.count"].alias("count_attr"),
+        F.col("resource")["k8s.node.name"].alias("node"),
+        F.col("resource")["k8s.object.kind"].alias("kind"),
+        F.col("resource")["k8s.object.resource_version"].alias("rv"),
+    )
+
+
+_SQL_K8S_EVENTS = """
+SELECT CAST((1704067200 + event_id % 86400) * 1000000000
+            + CASE WHEN event_id % 4 = 0 THEN 123456000 ELSE 0 END
+            AS BIGINT) AS time_unix_nano,
+       CAST(11 AS BIGINT) AS observed_time_unix_nano,
+       CAST(CASE event_id % 3 WHEN 0 THEN 9 WHEN 1 THEN 13 ELSE 0 END
+            AS INT) AS severity_number,
+       CASE event_id % 3 WHEN 0 THEN 'Normal' WHEN 1 THEN 'Warning'
+            ELSE '' END AS severity_text,
+       'msg ' || event_id AS body,
+       'R' || (event_id % 6) AS reason,
+       strftime(make_timestamp((1704067200 + event_id % 86400) * 1000000),
+                '%Y-%m-%d %H:%M:%S') || ' +0000 UTC' AS start_time,
+       'ns' || (event_id % 5) AS namespace,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(event_id % 7 AS VARCHAR) END AS count_attr,
+       'node-' || (event_id % 8) AS node,
+       'Pod' AS kind,
+       CAST(event_id % 1000 AS VARCHAR) AS rv
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6888,6 +6982,7 @@ REGISTRY: list[Query] = [
     Query("pubsub_watermarks", _q_pubsub_watermarks, _SQL_PUBSUB),
     Query("sqlquery_logs", _q_sqlquery_logs, _SQL_SQLQUERY),
     Query("mongodb_logs_parse", _q_mongodb_logs_parse, _SQL_MONGODB),
+    Query("k8s_events_parse", _q_k8s_events_parse, _SQL_K8S_EVENTS),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
