@@ -6869,6 +6869,92 @@ FROM events
 """
 
 
+def _q_dataset_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """datasetexporter (`logs_exporter.go:168-243`,
+    `datasetexporter.go:89-168`): flat records from the events table →
+    AddEvents bundles — severity bucket table with text fallback on
+    zero numbers, the ts → observed fallback, serverHost inference
+    (attr beats resource host.name), scope flatten. Oracle recomputes
+    every field closed-form."""
+    from .operators.dataset_exporter import dataset_events
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+    ).cast("long")
+    attrs = F.when(
+        eid % 9 == 0,
+        F.create_map(
+            F.lit("k"), (eid % 7).cast("string"),
+            F.lit("serverHost"),
+            F.concat(F.lit("ah"), (eid % 4).cast("string")),
+        ),
+    ).otherwise(
+        F.create_map(F.lit("k"), (eid % 7).cast("string"))
+    )
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.lit(88).cast("long").alias("observed_time_unix_nano"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.lit("warn").alias("severity_text"),
+        F.when(eid % 11 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("evt "), eid.cast("string"))
+        ).alias("body"),
+        attrs.alias("attributes"),
+        F.create_map(
+            F.lit("host.name"), F.concat(F.lit("h"), (eid % 5).cast("string"))
+        ).alias("resource"),
+        F.lit("lib").alias("scope_name"),
+        F.create_map(F.lit("s"), (eid % 3).cast("string")).alias(
+            "scope_attributes"
+        ),
+        F.when(eid % 3 == 0, F.lpad(
+            F.lower(F.conv((eid + 1).cast("string"), 10, 16)), 32, "0"
+        )).otherwise(F.lit("")).alias("trace_id"),
+        F.lit("").alias("span_id"),
+    )
+    out = dataset_events(rec)
+    return out.select(
+        "ts",
+        "sev",
+        "server_host",
+        "log_id",
+        "thread_id",
+        F.col("attrs")["message"].alias("message"),
+        F.col("attrs")["sca:observedTime"].alias("observed_attr"),
+        F.col("attrs")["trace_id"].alias("trace_attr"),
+        F.col("attrs")["k"].alias("attr_k"),
+        F.col("attrs")["scope.name"].alias("scope_name"),
+        F.col("attrs")["scope.attributes.s"].alias("scope_s"),
+    )
+
+
+_SQL_DATASET = """
+SELECT CASE WHEN event_id % 13 = 0 THEN '88'
+            ELSE CAST(1704067200000000000
+                      + (event_id % 86400) * 1000000000 AS VARCHAR) END
+         AS ts,
+       CAST(CASE WHEN event_id % 25 = 0 THEN 4
+            ELSE least((event_id % 25 - 1) // 4 + 1, 6) END AS INT) AS sev,
+       CASE WHEN event_id % 9 = 0 THEN 'ah' || (event_id % 4)
+            ELSE 'h' || (event_id % 5) END AS server_host,
+       'LL' AS log_id,
+       'TL' AS thread_id,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE 'evt ' || event_id END AS message,
+       '88' AS observed_attr,
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0')
+            ELSE NULL END AS trace_attr,
+       CAST(event_id % 7 AS VARCHAR) AS attr_k,
+       'lib' AS scope_name,
+       CAST(event_id % 3 AS VARCHAR) AS scope_s
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -6983,6 +7069,7 @@ REGISTRY: list[Query] = [
     Query("sqlquery_logs", _q_sqlquery_logs, _SQL_SQLQUERY),
     Query("mongodb_logs_parse", _q_mongodb_logs_parse, _SQL_MONGODB),
     Query("k8s_events_parse", _q_k8s_events_parse, _SQL_K8S_EVENTS),
+    Query("dataset_events", _q_dataset_events, _SQL_DATASET),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
