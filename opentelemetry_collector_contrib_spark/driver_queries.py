@@ -6955,6 +6955,81 @@ FROM events
 """
 
 
+def _q_logzio_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logzioexporter (`jsonlog.go:14-46`, `exporter.go:124-180`):
+    flat records from the events table → Logz.io JSON lines — merged
+    resource+scope details with collision arrays (every 4th record's
+    env key collides), milli timestamps with the skip-zero quirk
+    (every 13th record's sub-millisecond ts vanishes), sorted-key
+    Go-JSON rendering. Oracle rebuilds every line byte-for-byte."""
+    from .operators.logzio_exporter import logzio_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    ts_ns = F.when(eid % 13 == 0, F.lit(500_000)).otherwise(
+        (F.lit(1704067200) + eid % 86400) * F.lit(1_000_000_000)
+    ).cast("long")
+    scope_attrs = F.when(
+        eid % 4 == 0,
+        F.create_map(
+            F.lit("env"), F.concat(F.lit("s"), (eid % 2).cast("string"))
+        ),
+    ).otherwise(
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 5).cast("string"))
+        )
+    )
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.concat(F.lit("evt "), eid.cast("string")).alias("body"),
+        F.when(eid % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("S"), (eid % 5).cast("string"))
+        ).alias("severity_text"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.when(eid % 5 == 0, F.lpad(hex1, 16, "0")).otherwise(F.lit(""))
+        .alias("span_id"),
+        F.create_map(
+            F.lit("env"), F.concat(F.lit("r"), (eid % 3).cast("string"))
+        ).alias("resource"),
+        scope_attrs.alias("scope_attributes"),
+        F.lit("lib").alias("scope_name"),
+    )
+    return logzio_lines(rec)
+
+
+_SQL_LOGZIO = """
+SELECT '{'
+       || CASE WHEN event_id % 13 = 0 THEN ''
+               ELSE '"@timestamp":'
+                    || CAST((1704067200 + event_id % 86400) * 1000
+                            AS VARCHAR) || ',' END
+       || '"env":'
+       || CASE WHEN event_id % 4 = 0
+               THEN '["r' || (event_id % 3) || '","s' || (event_id % 2)
+                    || '"]'
+               ELSE '"r' || (event_id % 3) || '"' END
+       || CASE WHEN event_id % 5 <> 0
+               THEN ',"level":"S' || (event_id % 5) || '"' ELSE '' END
+       || ',"message":"evt ' || event_id || '"'
+       || ',"scopeName":"lib"'
+       || CASE WHEN event_id % 5 = 0
+               THEN ',"spanID":"'
+                    || lpad(lower(to_hex(event_id + 1)), 16, '0') || '"'
+               ELSE '' END
+       || CASE WHEN event_id % 4 <> 0
+               THEN ',"team":"t' || (event_id % 5) || '"' ELSE '' END
+       || CASE WHEN event_id % 3 = 0
+               THEN ',"traceID":"'
+                    || lpad(lower(to_hex(event_id + 1)), 32, '0') || '"'
+               ELSE '' END
+       || '}' AS line
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -7070,6 +7145,7 @@ REGISTRY: list[Query] = [
     Query("mongodb_logs_parse", _q_mongodb_logs_parse, _SQL_MONGODB),
     Query("k8s_events_parse", _q_k8s_events_parse, _SQL_K8S_EVENTS),
     Query("dataset_events", _q_dataset_events, _SQL_DATASET),
+    Query("logzio_lines", _q_logzio_lines, _SQL_LOGZIO),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
