@@ -7030,6 +7030,78 @@ FROM events
 """
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher heuristic quality filters (Rae et al. 2021, Appendix A)
+    over the documents table — all seven published rules evaluated in
+    exact integer arithmetic (no float thresholds), pure whole-stage
+    codegen. Oracle recomputes every count and the pass flag with
+    DuckDB list functions over the same whitespace split."""
+    from .operators.textstats import gopher_rules
+
+    ensure_shipped(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, "text").select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_symbols",
+        "n_lines",
+        "ellipsis_lines",
+        "bullet_lines",
+        "alpha_words",
+        "stopword_hits",
+        "gopher_pass",
+    )
+
+
+_SQL_GOPHER = """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(str_split_regex(lower(text), '\\s+'),
+                     x -> length(x) > 0) AS words,
+         str_split(text, chr(10)) AS lines
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(coalesce(list_aggregate(list_transform(words,
+                                                     x -> length(x)),
+                                      'sum'), 0) AS BIGINT)
+           AS sum_word_len,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              + length(text) - length(replace(text, chr(8230), ''))
+              AS BIGINT) AS n_symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines,
+                              l -> rtrim(l) LIKE '%...'
+                                   OR rtrim(l) LIKE '%' || chr(8230)))
+              AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(lines,
+                              l -> list_contains(
+                                     [chr(8226), chr(8227), '-', '*'],
+                                     substr(ltrim(l), 1, 1))))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_filter(['the','be','to','of','and','that',
+                               'have','with'],
+                              s -> list_contains(words, s))) AS INT)
+           AS stopword_hits
+  FROM w
+)
+SELECT *,
+       (n_words >= 50 AND n_words <= 100000
+        AND sum_word_len >= 3 * n_words AND sum_word_len <= 10 * n_words
+        AND n_symbols * 10 <= n_words
+        AND ellipsis_lines * 10 <= 3 * n_lines
+        AND bullet_lines * 10 <= 9 * n_lines
+        AND alpha_words * 5 >= 4 * n_words
+        AND stopword_hits >= 2) AS gopher_pass
+FROM c
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -7146,6 +7218,7 @@ REGISTRY: list[Query] = [
     Query("k8s_events_parse", _q_k8s_events_parse, _SQL_K8S_EVENTS),
     Query("dataset_events", _q_dataset_events, _SQL_DATASET),
     Query("logzio_lines", _q_logzio_lines, _SQL_LOGZIO),
+    Query("gopher_rules", _q_gopher_rules, _SQL_GOPHER),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),

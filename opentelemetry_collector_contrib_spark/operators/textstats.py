@@ -227,3 +227,93 @@ def token_frequencies(
         F.col("s.cnt").alias("cnt"),
         (F.col("pos") + 1).cast("int").alias("rank"),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+GOPHER_BULLETS = ["•", "‣", "-", "*"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher quality-filter rules (Rae et al. 2021, "Scaling Language
+    Models", Appendix A — the published heuristic document filters):
+
+    1. 50 <= word count <= 100,000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio (``#`` chars + ``...``/``…`` runs) <= 0.1
+    4. <= 30% of lines end with an ellipsis
+    5. <= 90% of lines start with a bullet glyph
+    6. >= 80% of words contain at least one alphabetic character
+    7. at least 2 of the 8 Gopher stop words appear
+
+    Every threshold is evaluated in EXACT integer arithmetic (e.g.
+    ``sum_word_len <= 10 * n_words`` instead of a float mean) so the
+    pass flag is bit-reproducible across engines — a corpus-scale
+    filter must not flip documents on float rounding. Counts are
+    emitted alongside the flag for threshold tuning. Pure JVM column
+    expressions: one pass, whole-stage codegen, zero Python.
+    """
+    text = F.col(text_col)
+    w = words_col(text)  # lowercased whitespace words
+    n_words = F.size(w).cast("long")
+    sum_word_len = F.aggregate(
+        w, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    # replace-length arithmetic: non-overlapping greedy left-to-right in
+    # both Spark and DuckDB, so counts match exactly
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell3 = (
+        F.length(text)
+        - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    n_ell1 = F.length(text) - F.length(
+        F.replace(text, F.lit("…"), F.lit(""))
+    )
+    n_symbols = (n_hash + n_ell3 + n_ell1).cast("long")
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    ell_end = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.rtrim(ln).endswith("...")
+            | F.rtrim(ln).endswith("…"),
+        )
+    ).cast("long")
+    bullet_arr = F.array(*[F.lit(b) for b in GOPHER_BULLETS])
+    bullet_start = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.array_contains(
+                bullet_arr, F.substring(F.ltrim(ln), 1, 1)
+            ),
+        )
+    ).cast("long")
+    alpha_words = F.size(
+        F.filter(w, lambda x: x.rlike("[a-z]"))
+    ).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.array_distinct(w), stop_arr)
+    ).cast("int")
+    gopher_pass = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (sum_word_len >= 3 * n_words)
+        & (sum_word_len <= 10 * n_words)
+        & (n_symbols * 10 <= n_words)
+        & (ell_end * 10 <= 3 * n_lines)
+        & (bullet_start * 10 <= 9 * n_lines)
+        & (alpha_words * 5 >= 4 * n_words)
+        & (stop_hits >= 2)
+    )
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("sum_word_len", sum_word_len)
+        .withColumn("n_symbols", n_symbols)
+        .withColumn("n_lines", n_lines)
+        .withColumn("ellipsis_lines", ell_end)
+        .withColumn("bullet_lines", bullet_start)
+        .withColumn("alpha_words", alpha_words)
+        .withColumn("stopword_hits", stop_hits)
+        .withColumn("gopher_pass", gopher_pass)
+    )
