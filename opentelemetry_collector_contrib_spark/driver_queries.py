@@ -7102,6 +7102,137 @@ FROM c
 """
 
 
+def _q_carbon_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """carbonexporter (`metricdata_to_plaintext.go:82-290`): typed
+    datapoints from the events table → Carbon plaintext lines — int
+    and Go-'f' double values, histogram count/sum/bucket expansion
+    with 'g'-formatted upper bounds + inf, summary quantile*100
+    labels, tag paths. Every line recomputed closed-form (values are
+    dyadic rationals so the Go float strings are exact string
+    arithmetic in SQL)."""
+    from .operators.carbon_exporter import carbon_lines
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    ts = (F.lit(1704067200) + eid % 86400) * F.lit(1_000_000_000)
+    kind = eid % 3
+    rec = ev.select(
+        F.when(kind == 0, F.concat(F.lit("cpu"), (eid % 4).cast("string")))
+        .when(kind == 1, F.lit("lat"))
+        .otherwise(F.lit("rt")).alias("metric_name"),
+        F.when(kind == 0, F.lit("gauge"))
+        .when(kind == 1, F.lit("histogram"))
+        .otherwise(F.lit("summary")).alias("metric_type"),
+        ts.cast("long").alias("time_unix_nano"),
+        F.when(
+            kind == 0,
+            F.create_map(
+                F.lit("host"), F.concat(F.lit("h"), (eid % 5).cast("string"))
+            ),
+        )
+        .when(
+            kind == 1,
+            F.create_map(
+                F.lit("svc"), F.concat(F.lit("s"), (eid % 4).cast("string"))
+            ),
+        )
+        .otherwise(F.create_map().cast("map<string,string>"))
+        .alias("attributes"),
+        F.when((kind == 0) & (eid % 2 == 0), (eid % 100).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("value_int"),
+        F.when((kind == 0) & (eid % 2 == 1), (eid % 100) * 0.25)
+        .otherwise(F.lit(None).cast("double")).alias("value_double"),
+        F.when(kind == 1, (eid % 50).cast("long"))
+        .when(kind == 2, (eid % 30).cast("long"))
+        .otherwise(F.lit(None).cast("long")).alias("count"),
+        F.when(kind == 1, (eid % 40) * 0.5)
+        .when(kind == 2, (eid % 20) * 0.5)
+        .otherwise(F.lit(None).cast("double")).alias("sum"),
+        F.when(kind == 1, F.array(F.lit(0.5), F.lit(2.0), F.lit(10.0)))
+        .otherwise(F.lit(None).cast("array<double>")).alias("bounds"),
+        F.when(
+            kind == 1,
+            F.array(
+                (eid % 5).cast("long"), (eid % 7).cast("long"),
+                (eid % 3).cast("long"), (eid % 2).cast("long"),
+            ),
+        ).otherwise(F.lit(None).cast("array<long>")).alias("bucket_counts"),
+        F.when(
+            kind == 2,
+            F.array(
+                F.struct(
+                    F.lit(0.25).alias("quantile"),
+                    ((eid % 8) * 0.25).alias("value"),
+                ),
+                F.struct(
+                    F.lit(0.5).alias("quantile"),
+                    ((eid % 6) * 0.5).alias("value"),
+                ),
+            ),
+        ).otherwise(
+            F.lit(None).cast(
+                "array<struct<quantile double, value double>>"
+            )
+        ).alias("quantiles"),
+    )
+    return carbon_lines(rec)
+
+
+_SQL_CARBON_RENDER = """
+WITH ev AS (
+  SELECT event_id,
+         CAST(1704067200 + event_id % 86400 AS VARCHAR) AS sec,
+         -- Go 'f' strings for the dyadic values used here
+         CAST((event_id % 100) // 4 AS VARCHAR)
+           || ['', '.25', '.5', '.75'][(event_id % 100) % 4 + 1] AS q4_100,
+         CAST((event_id % 40) // 2 AS VARCHAR)
+           || ['', '.5'][(event_id % 40) % 2 + 1] AS h_sum,
+         CAST((event_id % 20) // 2 AS VARCHAR)
+           || ['', '.5'][(event_id % 20) % 2 + 1] AS s_sum,
+         CAST((event_id % 8) // 4 AS VARCHAR)
+           || ['', '.25', '.5', '.75'][(event_id % 8) % 4 + 1] AS qv1,
+         CAST((event_id % 6) // 2 AS VARCHAR)
+           || ['', '.5'][(event_id % 6) % 2 + 1] AS qv2
+  FROM events
+)
+SELECT 'cpu' || (event_id % 4) || ';host=h' || (event_id % 5) || ' '
+       || CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 100 AS VARCHAR)
+               ELSE q4_100 END
+       || ' ' || sec AS line
+FROM ev WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'lat.count;svc=s' || (event_id % 4) || ' ' || (event_id % 50)
+       || ' ' || sec FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'lat;svc=s' || (event_id % 4) || ' ' || h_sum || ' ' || sec
+FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'lat.bucket;svc=s' || (event_id % 4) || ';upper_bound=0.5 '
+       || (event_id % 5) || ' ' || sec FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'lat.bucket;svc=s' || (event_id % 4) || ';upper_bound=2 '
+       || (event_id % 7) || ' ' || sec FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'lat.bucket;svc=s' || (event_id % 4) || ';upper_bound=10 '
+       || (event_id % 3) || ' ' || sec FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'lat.bucket;svc=s' || (event_id % 4) || ';upper_bound=inf '
+       || (event_id % 2) || ' ' || sec FROM ev WHERE event_id % 3 = 1
+UNION ALL
+SELECT 'rt.count ' || (event_id % 30) || ' ' || sec
+FROM ev WHERE event_id % 3 = 2
+UNION ALL
+SELECT 'rt ' || s_sum || ' ' || sec FROM ev WHERE event_id % 3 = 2
+UNION ALL
+SELECT 'rt.quantile;quantile=25 ' || qv1 || ' ' || sec
+FROM ev WHERE event_id % 3 = 2
+UNION ALL
+SELECT 'rt.quantile;quantile=50 ' || qv2 || ' ' || sec
+FROM ev WHERE event_id % 3 = 2
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -7219,6 +7350,7 @@ REGISTRY: list[Query] = [
     Query("dataset_events", _q_dataset_events, _SQL_DATASET),
     Query("logzio_lines", _q_logzio_lines, _SQL_LOGZIO),
     Query("gopher_rules", _q_gopher_rules, _SQL_GOPHER),
+    Query("carbon_render", _q_carbon_render, _SQL_CARBON_RENDER),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
