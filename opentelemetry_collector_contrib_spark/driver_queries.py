@@ -7233,6 +7233,480 @@ FROM ev WHERE event_id % 3 = 2
 """
 
 
+def _q_azuremonitor_envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """azuremonitorexporter (`log_to_envelope.go:21-99`,
+    `contracts_utils.go:13-70`): flat records from the events table →
+    Application Insights Message envelopes — severity buckets, the
+    ts→observed→now chain (every 13th record has no timestamp), cloud
+    role composition, always-present operation tags. Oracle recomputes
+    every envelope field closed-form."""
+    from .operators.azuremonitor_exporter import azuremonitor_envelopes
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+    ).cast("long")
+    res = F.map_concat(
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (eid % 3).cast("string")),
+            F.lit("team"),
+            F.concat(F.lit("t"), (eid % 6).cast("string")),
+        ),
+        F.when(
+            eid % 2 == 0,
+            F.create_map(
+                F.lit("service.namespace"),
+                F.concat(F.lit("n"), (eid % 4).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+        F.when(
+            eid % 5 == 0,
+            F.create_map(
+                F.lit("service.instance.id"),
+                F.concat(F.lit("i"), (eid % 7).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.lit(88).cast("long").alias("observed_time_unix_nano"),
+        (eid % 26).cast("int").alias("severity_number"),
+        F.concat(F.lit("evt "), eid.cast("string"), F.lit(" "),
+                 F.col("event_type")).alias("body"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.lit("").alias("span_id"),
+        res.alias("resource"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+        F.lit("lib").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+    )
+    env = azuremonitor_envelopes(rec, sdk_version="otelcol-spark")
+    return env.select(
+        "time",
+        "name",
+        "base_type",
+        "severity_level",
+        "message",
+        F.col("tags")["ai.operation.id"].alias("op_id"),
+        F.col("tags")["ai.cloud.role"].alias("role"),
+        F.col("tags")["ai.cloud.roleInstance"].alias("role_instance"),
+        F.col("tags")["ai.internal.sdkVersion"].alias("sdk"),
+        F.col("properties")["team"].alias("team"),
+        F.col("properties")["instrumentationlibrary.name"].alias(
+            "scope_prop"
+        ),
+        F.col("properties")["k"].alias("attr_k"),
+    )
+
+
+_SQL_AZUREMONITOR = """
+SELECT CASE WHEN event_id % 13 = 0 THEN '1970-01-01T00:00:00.000000088Z'
+            ELSE strftime(make_timestamp(
+                   (1704067200 + event_id % 86400) * 1000000),
+                 '%Y-%m-%dT%H:%M:%S') || 'Z' END AS time,
+       'Microsoft.ApplicationInsights.Message' AS name,
+       'MessageData' AS base_type,
+       CAST(CASE WHEN event_id % 26 BETWEEN 1 AND 8 THEN 0
+                 WHEN event_id % 26 BETWEEN 9 AND 12 THEN 1
+                 WHEN event_id % 26 BETWEEN 13 AND 16 THEN 2
+                 WHEN event_id % 26 BETWEEN 17 AND 20 THEN 3
+                 WHEN event_id % 26 BETWEEN 21 AND 24 THEN 4
+                 ELSE 1 END AS INT) AS severity_level,
+       'evt ' || event_id || ' ' || event_type AS message,
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0')
+            ELSE '' END AS op_id,
+       CASE WHEN event_id % 2 = 0
+            THEN 'n' || (event_id % 4) || '.svc' || (event_id % 3)
+            ELSE 'svc' || (event_id % 3) END AS role,
+       CASE WHEN event_id % 5 = 0 THEN 'i' || (event_id % 7)
+            ELSE NULL END AS role_instance,
+       'otelcol-spark' AS sdk,
+       't' || (event_id % 6) AS team,
+       'lib' AS scope_prop,
+       CAST(event_id % 7 AS VARCHAR) AS attr_k
+FROM events
+"""
+
+
+def _q_skywalking_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skywalkingexporter (`logrecord_to_logdata.go:28-150`): flat
+    records from the events table → SkyWalking LogData — ordered tag
+    list (resource → scope → severity → attrs → flags → spanID),
+    service default, every 11th record's empty body short-circuiting
+    the record half, hex flags. Oracle rebuilds every field including
+    the ordered tags JSON closed-form."""
+    from .operators.skywalking_exporter import skywalking_log_rows
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    res = F.map_concat(
+        F.create_map(
+            F.lit("service.name"),
+            F.concat(F.lit("svc"), (eid % 3).cast("string")),
+            F.lit("team"),
+            F.concat(F.lit("t"), (eid % 6).cast("string")),
+        ),
+        F.when(
+            eid % 5 == 0,
+            F.create_map(
+                F.lit("service.instance.id"),
+                F.concat(F.lit("i"), (eid % 7).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+    rec = ev.select(
+        (
+            F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+        ).cast("long").alias("time_unix_nano"),
+        F.when(eid % 11 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("evt "), eid.cast("string"))
+        ).alias("body"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.when(eid % 5 == 0, F.lit("")).otherwise(
+            F.concat(F.lit("S"), (eid % 5).cast("string"))
+        ).alias("severity_text"),
+        (eid % 300).cast("int").alias("flags"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.when(eid % 4 == 0, F.lpad(hex1, 16, "0")).otherwise(F.lit(""))
+        .alias("span_id"),
+        res.alias("resource"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+        F.lit("lib").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+    )
+    return skywalking_log_rows(rec)
+
+
+_SQL_SKYWALKING = """
+WITH base AS (
+  SELECT event_id,
+         '{"key":"service.name","value":"svc' || (event_id % 3) || '"},'
+         || '{"key":"team","value":"t' || (event_id % 6) || '"}'
+         || CASE WHEN event_id % 5 = 0
+                 THEN ',{"key":"service.instance.id","value":"i'
+                      || (event_id % 7) || '"}' ELSE '' END
+         || ',{"key":"otlp.name","value":"lib"}'
+         || ',{"key":"otlp.version","value":"1.0"}' AS head
+  FROM events
+)
+SELECT 'svc' || (event_id % 3) AS service,
+       CASE WHEN event_id % 5 = 0 THEN 'i' || (event_id % 7)
+            ELSE '' END AS service_instance,
+       CAST(CASE WHEN event_id % 11 = 0 THEN 0
+            ELSE (1704067200 + event_id % 86400) * 1000 END AS BIGINT)
+         AS timestamp_ms,
+       CASE WHEN event_id % 11 = 0 THEN NULL
+            ELSE 'evt ' || event_id END AS body,
+       CASE WHEN event_id % 11 = 0 THEN NULL ELSE 'body-type' END
+         AS body_type,
+       CASE WHEN event_id % 11 = 0 OR event_id % 3 <> 0 THEN NULL
+            ELSE lpad(lower(to_hex(event_id + 1)), 32, '0') END
+         AS trace_id,
+       '[' || head
+       || CASE WHEN event_id % 11 = 0 THEN ''
+               ELSE ',{"key":"severityNumber","value":"'
+                    || (event_id % 25) || '"}'
+                    || CASE WHEN event_id % 5 <> 0
+                            THEN ',{"key":"severityText","value":"S'
+                                 || (event_id % 5) || '"}' ELSE '' END
+                    || ',{"key":"k","value":"' || (event_id % 7) || '"}'
+                    || ',{"key":"flags","value":"'
+                    || lower(to_hex(event_id % 300)) || '"}'
+                    || CASE WHEN event_id % 4 = 0
+                            THEN ',{"key":"spanID","value":"'
+                                 || lpad(lower(to_hex(event_id + 1)), 16,
+                                         '0') || '"}'
+                            ELSE '' END
+               END
+       || ']' AS tags_json
+FROM base
+"""
+
+
+def _q_cassandra_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cassandraexporter (`exporter_logs.go:113-146`, `helper.go:8-17`):
+    flat records from the events table → the 9 CQL bind columns with
+    the per-value json.Marshal quirk (string attribute values and the
+    body bind QUOTED). Oracle recomputes every column closed-form."""
+    from .operators.cassandra_exporter import cassandra_log_rows
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    rec = ev.select(
+        (
+            F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+        ).cast("long").alias("time_unix_nano"),
+        F.concat(F.lit("evt "), eid.cast("string"), F.lit(" "),
+                 F.col("event_type")).alias("body"),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.concat(F.lit("S"), (eid % 5).cast("string")).alias(
+            "severity_text"
+        ),
+        (eid % 2).cast("int").alias("flags"),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.when(eid % 4 == 0, F.lpad(hex1, 16, "0")).otherwise(F.lit(""))
+        .alias("span_id"),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string"))
+        ).alias("resource"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+    )
+    rows = cassandra_log_rows(rec)
+    return rows.select(
+        "timestamp",
+        "traceid",
+        "spanid",
+        "traceflags",
+        "severitytext",
+        "severitynumber",
+        "body",
+        F.col("resourceattributes")["team"].alias("res_team"),
+        F.col("logattributes")["k"].alias("attr_k"),
+    )
+
+
+_SQL_CASSANDRA = """
+SELECT CAST(1704067200000000000 + (event_id % 86400) * 1000000000
+            AS BIGINT) AS timestamp,
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0')
+            ELSE '' END AS traceid,
+       CASE WHEN event_id % 4 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 16, '0')
+            ELSE '' END AS spanid,
+       CAST(event_id % 2 AS INT) AS traceflags,
+       'S' || (event_id % 5) AS severitytext,
+       CAST(event_id % 25 AS INT) AS severitynumber,
+       '"evt ' || event_id || ' ' || event_type || '"' AS body,
+       '"t' || (event_id % 6) || '"' AS res_team,
+       '"' || (event_id % 7) || '"' AS attr_k
+FROM events
+"""
+
+
+def _q_honeycomb_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """honeycombmarkerexporter (`logs_exporter.go:79-140`): two
+    configured markers with OTTL log conditions evaluated through the
+    repo's OTTL→Catalyst compiler — severity threshold and IsMatch
+    body rules — producing sorted-key marker request JSON with
+    optional message/url attribute lifts and the __all__ slug default.
+    Oracle recomputes matches and request bodies closed-form."""
+    from .operators.honeycomb_marker_exporter import (
+        Marker,
+        honeycomb_markers,
+    )
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    attrs = F.map_concat(
+        F.when(
+            eid % 2 == 0,
+            F.create_map(
+                F.lit("message"),
+                F.concat(F.lit("m"), (eid % 5).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+        F.when(
+            eid % 3 == 0,
+            F.create_map(
+                F.lit("url"),
+                F.concat(F.lit("http://u/"), (eid % 7).cast("string")),
+            ),
+        ).otherwise(F.create_map().cast("map<string,string>")),
+    )
+    rec = ev.select(
+        F.concat(F.lit("evt "), eid.cast("string"), F.lit(" "),
+                 F.col("event_type")).alias("body"),
+        (eid % 25).cast("int").alias("severity_number"),
+        attrs.alias("attributes"),
+    )
+    return honeycomb_markers(
+        rec,
+        [
+            Marker(type="errors", rules=["severity_number >= 17"]),
+            Marker(
+                type="clicks",
+                rules=['IsMatch(body, ".*click.*")'],
+                dataset_slug="web",
+            ),
+        ],
+    )
+
+
+_SQL_HONEYCOMB = """
+WITH rec AS (
+  SELECT event_id,
+         'evt ' || event_id || ' ' || event_type AS body,
+         event_id % 25 AS sev,
+         CASE WHEN event_id % 2 = 0
+              THEN '"message":"m' || (event_id % 5) || '",' ELSE '' END
+           AS msg_part,
+         CASE WHEN event_id % 3 = 0
+              THEN ',"url":"http://u/' || (event_id % 7) || '"'
+              ELSE '' END AS url_part,
+         event_type
+  FROM events
+)
+SELECT 'errors' AS marker_type, '__all__' AS dataset_slug,
+       '/1/markers/__all__' AS url_path,
+       '{' || msg_part || '"type":"errors"' || url_part || '}'
+         AS request_json
+FROM rec WHERE sev >= 17
+UNION ALL
+SELECT 'clicks', 'web', '/1/markers/web',
+       '{' || msg_part || '"type":"clicks"' || url_part || '}'
+FROM rec WHERE body LIKE '%click%'
+"""
+
+
+def _q_lm_log_inputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logicmonitorexporter (`logs_exporter.go:64-140`): flat records
+    from the events table → LM log inputs — the ts→observed→now
+    chain (every 13th record has no timestamp), Go time.String()
+    rendering, and the hostname → system.hostname resource
+    duplication. Oracle recomputes every field closed-form."""
+    from .operators.logicmonitor_exporter import lm_log_inputs
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+    ).cast("long")
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.lit(88).cast("long").alias("observed_time_unix_nano"),
+        F.concat(F.lit("evt "), eid.cast("string")).alias("body"),
+        F.create_map(
+            F.lit("hostname"), F.concat(F.lit("h"), (eid % 5).cast("string")),
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string")),
+        ).alias("resource"),
+        F.create_map(F.lit("k"), (eid % 7).cast("string")).alias(
+            "attributes"
+        ),
+    )
+    out = lm_log_inputs(rec)
+    return out.select(
+        "message",
+        "timestamp",
+        F.col("resource_map")["hostname"].alias("hostname"),
+        F.col("resource_map")["system.hostname"].alias("system_hostname"),
+        F.col("resource_map")["team"].alias("team"),
+        F.col("metadata")["k"].alias("attr_k"),
+    )
+
+
+_SQL_LM = """
+SELECT 'evt ' || event_id AS message,
+       CASE WHEN event_id % 13 = 0
+            THEN '1970-01-01 00:00:00.000000088 +0000 UTC'
+            ELSE strftime(make_timestamp(
+                   (1704067200 + event_id % 86400) * 1000000),
+                 '%Y-%m-%d %H:%M:%S') || ' +0000 UTC' END AS timestamp,
+       'h' || (event_id % 5) AS hostname,
+       'h' || (event_id % 5) AS system_hostname,
+       't' || (event_id % 6) AS team,
+       CAST(event_id % 7 AS VARCHAR) AS attr_k
+FROM events
+"""
+
+
+def _q_adx_log_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """azuredataexplorerexporter (`logsdata_to_adx.go:16-46`): flat
+    records from the events table → AdxLog rows — RFC 3339 Nano
+    timestamps (zero → epoch), scope overlay onto the record
+    attributes (scope.name overwrites a colliding record attribute).
+    Oracle recomputes every column closed-form."""
+    from .operators.adx_exporter import adx_log_rows
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    hex1 = F.lower(F.conv((eid + 1).cast("string"), 10, 16))
+    ts_ns = F.when(eid % 13 == 0, F.lit(0)).otherwise(
+        F.lit(1704067200_000000000) + (eid % 86400) * 1_000_000_000
+    ).cast("long")
+    rec = ev.select(
+        ts_ns.alias("time_unix_nano"),
+        F.lit(1704067200_000000000).cast("long").alias(
+            "observed_time_unix_nano"
+        ),
+        F.when(eid % 3 == 0, F.lpad(hex1, 32, "0")).otherwise(F.lit(""))
+        .alias("trace_id"),
+        F.lit("").alias("span_id"),
+        F.concat(F.lit("S"), (eid % 5).cast("string")).alias(
+            "severity_text"
+        ),
+        (eid % 25).cast("int").alias("severity_number"),
+        F.concat(F.lit("evt "), eid.cast("string")).alias("body"),
+        F.create_map(
+            F.lit("team"), F.concat(F.lit("t"), (eid % 6).cast("string"))
+        ).alias("resource"),
+        F.create_map(
+            F.lit("k"), (eid % 7).cast("string"),
+            F.lit("scope.name"), F.lit("shadowed"),
+        ).alias("attributes"),
+        F.lit("lib").alias("scope_name"),
+        F.lit("1.0").alias("scope_version"),
+    )
+    rows = adx_log_rows(rec)
+    return rows.select(
+        "Timestamp",
+        "ObservedTimestamp",
+        "TraceID",
+        "SpanID",
+        "SeverityText",
+        "SeverityNumber",
+        "Body",
+        F.col("ResourceAttributes")["team"].alias("res_team"),
+        F.col("LogsAttributes")["k"].alias("attr_k"),
+        F.col("LogsAttributes")["scope.name"].alias("scope_name_attr"),
+        F.col("LogsAttributes")["scope.version"].alias(
+            "scope_version_attr"
+        ),
+    )
+
+
+_SQL_ADX = """
+SELECT CASE WHEN event_id % 13 = 0 THEN '1970-01-01T00:00:00Z'
+            ELSE strftime(make_timestamp(
+                   (1704067200 + event_id % 86400) * 1000000),
+                 '%Y-%m-%dT%H:%M:%S') || 'Z' END AS "Timestamp",
+       '2024-01-01T00:00:00Z' AS "ObservedTimestamp",
+       CASE WHEN event_id % 3 = 0
+            THEN lpad(lower(to_hex(event_id + 1)), 32, '0')
+            ELSE '' END AS "TraceID",
+       '' AS "SpanID",
+       'S' || (event_id % 5) AS "SeverityText",
+       CAST(event_id % 25 AS INT) AS "SeverityNumber",
+       'evt ' || event_id AS "Body",
+       't' || (event_id % 6) AS res_team,
+       CAST(event_id % 7 AS VARCHAR) AS attr_k,
+       'lib' AS scope_name_attr,
+       '1.0' AS scope_version_attr
+FROM events
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -7351,6 +7825,16 @@ REGISTRY: list[Query] = [
     Query("logzio_lines", _q_logzio_lines, _SQL_LOGZIO),
     Query("gopher_rules", _q_gopher_rules, _SQL_GOPHER),
     Query("carbon_render", _q_carbon_render, _SQL_CARBON_RENDER),
+    Query(
+        "azuremonitor_envelopes",
+        _q_azuremonitor_envelopes,
+        _SQL_AZUREMONITOR,
+    ),
+    Query("skywalking_logs", _q_skywalking_logs, _SQL_SKYWALKING),
+    Query("cassandra_rows", _q_cassandra_rows, _SQL_CASSANDRA),
+    Query("honeycomb_markers", _q_honeycomb_markers, _SQL_HONEYCOMB),
+    Query("lm_log_inputs", _q_lm_log_inputs, _SQL_LM),
+    Query("adx_log_rows", _q_adx_log_rows, _SQL_ADX),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
