@@ -7707,6 +7707,59 @@ FROM events
 """
 
 
+def _q_cloudwatch_logs_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """awscloudwatchreceiver (`logs.go:230-288`): FilterLogEvents rows
+    synthesized from the events table — nil-timestamp and nil-message
+    events skipped, absent streams taking the reference's sentinel,
+    ms→ns conversion, (group, stream) resource attrs. Oracle
+    recomputes every record closed-form."""
+    from .sources.cloudwatch_receiver import cloudwatch_log_records
+
+    ensure_shipped(spark)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    src = ev.select(
+        F.when(eid % 17 == 0, F.lit(None).cast("long")).otherwise(
+            F.lit(1704067200000) + (eid % 86400) * 1000
+        ).alias("timestamp_ms"),
+        F.concat(F.lit("e"), eid.cast("string")).alias("event_id"),
+        F.when(eid % 19 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("msg "), eid.cast("string"))
+        ).alias("message"),
+        F.when(eid % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("s"), (eid % 4).cast("string"))
+        ).alias("log_stream"),
+        F.concat(F.lit("/g/"), (eid % 3).cast("string")).alias(
+            "log_group"
+        ),
+    )
+    recs = cloudwatch_log_records(src, region="eu-west-1", observed_ns=9)
+    return recs.select(
+        "time_unix_nano",
+        "observed_time_unix_nano",
+        "body",
+        F.col("attributes")["id"].alias("event_id"),
+        F.col("resource")["aws.region"].alias("region"),
+        F.col("resource")["cloudwatch.log.group.name"].alias("group"),
+        F.col("resource")["cloudwatch.log.stream"].alias("stream"),
+    )
+
+
+_SQL_CLOUDWATCH = """
+SELECT CAST((1704067200000 + (event_id % 86400) * 1000) * 1000000
+            AS BIGINT) AS time_unix_nano,
+       CAST(9 AS BIGINT) AS observed_time_unix_nano,
+       'msg ' || event_id AS body,
+       'e' || event_id AS event_id,
+       'eu-west-1' AS region,
+       '/g/' || (event_id % 3) AS "group",
+       CASE WHEN event_id % 5 = 0 THEN 'THIS IS INVALID STREAM'
+            ELSE 's' || (event_id % 4) END AS stream
+FROM events
+WHERE event_id % 17 <> 0 AND event_id % 19 <> 0
+"""
+
+
 REGISTRY: list[Query] = [
     # --- Registry order = driver-sweep order (driver checks REGISTRY[:50]).
     # Block 1: the 41 queries with no driver-side correctness row through r04
@@ -7835,6 +7888,9 @@ REGISTRY: list[Query] = [
     Query("honeycomb_markers", _q_honeycomb_markers, _SQL_HONEYCOMB),
     Query("lm_log_inputs", _q_lm_log_inputs, _SQL_LM),
     Query("adx_log_rows", _q_adx_log_rows, _SQL_ADX),
+    Query(
+        "cloudwatch_logs_parse", _q_cloudwatch_logs_parse, _SQL_CLOUDWATCH
+    ),
     # --- driver-green through r04 ---
     Query("tokenize", _q_tokenize, _SQL_TOKENIZE),
     Query("parse_severity", _q_parse, _SQL_PARSE),
